@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline: `frontier_round` — one full crawl-round dataflow (generate ->
+canonicalize -> xxhash64 -> shard -> bloom seen-filter cogroup -> robots
+gate -> salted per-host politeness pop) over N_FRONTIER synthetic URLs
+generated JVM-side with spark.range (no Python in the data path), i.e.
+exactly the north_rule metric "frontier URLs processed/sec".  The value
+reported is seconds; `frontier_urls_per_sec` is included alongside.
+
+Also times every queries() entry at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
+BENCH_FRONTIER_URLS (default 2_000_000), BENCH_QUERIES=0 to skip the
+query sweep (used by scripts/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geocrawl_spark import seen as S  # noqa: E402
+from geocrawl_spark import politeness as pol  # noqa: E402
+from geocrawl_spark.canon import canonicalize_url_expr, host_expr  # noqa: E402
+from geocrawl_spark.session import get_spark  # noqa: E402
+
+N_FRONTIER = int(os.environ.get("BENCH_FRONTIER_URLS", 2_000_000))
+N_HOSTS = 1000
+N_SHARDS = 32
+
+
+def frontier_round(spark) -> tuple[float, int]:
+    """One politeness-gated frontier round over N_FRONTIER URLs."""
+    n = N_FRONTIER
+    # JVM-side synthetic frontier (mixed-case + port variants exercise canon)
+    raw = F.format_string(
+        "HTTP://Host%d.example.org:80/p/%d.html#f",
+        F.pmod(F.col("id"), F.lit(N_HOSTS)),
+        F.col("id"),
+    )
+    frontier = (
+        spark.range(n)
+        .select(
+            canonicalize_url_expr(raw).alias("url"),
+            F.pmod(F.col("id"), F.lit(5)).alias("priority"),
+            (F.col("id") % 7).alias("depth"),
+        )
+        .withColumn("host", host_expr(F.col("url")))
+    )
+
+    shards = S.init_shards(spark, "bloom", N_SHARDS, 1 << 26, 7)
+    budgets = spark.range(N_HOSTS).select(
+        F.format_string("host%d.example.org", F.col("id")).alias("host"),
+        (F.lit(64) + F.pmod(F.col("id"), F.lit(64))).alias("budget"),
+    )
+    robots = spark.range(N_HOSTS).select(
+        F.format_string("host%d.example.org", F.col("id")).alias("host"),
+        F.when(F.col("id") % 11 == 0, F.array(F.lit("/private/")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow"),
+    )
+
+    t0 = time.time()
+    fresh, new_shards = S.filter_and_update(
+        frontier.select("url", "depth"), shards, "bloom", N_SHARDS, 1 << 26, 7
+    )
+    fresh = fresh.withColumn("host", host_expr(F.col("url")))
+    gated = (
+        fresh.join(F.broadcast(robots), "host", "left")
+        .withColumn(
+            "denied", pol.robots_denied_expr(F.col("url"), F.col("disallow"))
+        )
+        .filter(~F.col("denied"))
+        .withColumn("priority", F.col("depth"))
+    )
+    batch = pol.pop_batch(gated, budgets, salt=8)
+    n_processed = frontier.count()
+    n_batch = batch.count()
+    n_blob = new_shards.select(F.sum("n_items")).collect()[0][0]
+    dt = time.time() - t0
+    assert n_batch > 0 and n_blob > 0
+    return dt, n_processed
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    run_queries = os.environ.get("BENCH_QUERIES", "1") != "0"
+    spark = get_spark(app_name="geocrawl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    dt, n = frontier_round(spark)
+    queries["frontier_round"] = round(dt, 3)
+    urls_per_sec = n / dt
+
+    if run_queries:
+        from __spark_entry__ import queries as q_entries
+
+        for name, fn in q_entries().items():
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                queries[name] = round(time.time() - t0, 3)
+            except Exception:
+                queries[name] = -1.0
+
+    total = round(sum(v for v in queries.values() if v > 0), 3)
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": round(urls_per_sec, 1),
+        "unit": "urls/sec",
+        "total_sec": total,
+        "frontier_urls": N_FRONTIER,
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,351 @@
+"""The crawl engine: batch-iterative frontier rounds (SURVEY.md §3.1, §7).
+
+One crawl round (the Spark restatement of the reference's
+producer/scheduler/worker loop, geocrawl/geocrawler.go:43-53):
+
+  pending frontier
+    -> pop_batch (per-host politeness top-k; ConcLimiter analog)
+    -> fetch (join against the pages table; GDALOpenEx analog)
+    -> extract text + links (vectorized UDFs; GetGDALMetadata analog)
+    -> explode + resolve + canonicalize candidates
+    -> seen-filter (sharded cogroup; the walk's visit-once guarantee)
+    -> robots gate (the -re regex gate analog)
+    -> admit new pending rows; extract geo-asset metadata; parse stage
+    -> counters + snapshot commit (H4)
+
+Determinism contract (north_rule): every ordering below is a pure
+function of table state — per-host pop by (priority, url), fetch_seq by
+(priority, url) over the bounded per-round batch, admission dedup by
+(url -> min depth) — never of task scheduling.  The pyref oracle
+(pyref.py) implements the same contract single-threaded; golden tests
+assert exact equality of ordering, seen-set, counters, and extracted
+text bytes.
+
+Scale notes (100 TB design point):
+- the pages "fetch" join shuffles on url; on a real deployment the pages
+  Iceberg table would be bucketed by url so this is a storage-partitioned
+  join (no shuffle of the big side);
+- the frontier snapshot rewrite per round is an Iceberg MERGE in
+  production (row-level); Parquet-rewrite here (same semantics);
+- the global fetch_seq window sorts only the per-round batch, which is
+  bounded by sum(host budgets), not by frontier size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import assets as A
+from . import gdalmeta as G
+from . import parsers as P
+from . import politeness as pol
+from . import seen as S
+from .canon import canonicalize_url_expr, host_expr
+from .checkpoint import TableIO
+from .geometry import polygon_wkt_expr
+
+FRONTIER_SCHEMA = (
+    "url string, host string, depth long, priority long, discovered_round long, "
+    "status string, fetch_round long, fetch_seq long"
+)
+
+COUNTER_KEYS = [
+    "fetched", "missing", "deferred_politeness", "deduped",
+    "robots_denied", "discovered", "assets_extracted", "dead_letters",
+]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        seeds: DataFrame,
+        robots: DataFrame,
+        hostbudget: DataFrame,
+        base_dir: str,
+        mode: str = "exact",
+        n_shards: int = 8,
+        salt: int = pol.DEFAULT_SALT,
+        m_bits: int = 1 << 23,
+        k: int = 7,
+    ):
+        self.spark = spark
+        self.pages = pages.persist()
+        self.seeds = seeds
+        self.robots = robots.persist()
+        self.hostbudget = hostbudget.persist()
+        self.io = TableIO(base_dir)
+        self.mode, self.n_shards, self.salt, self.m_bits, self.k = (
+            mode, n_shards, salt, m_bits, k,
+        )
+
+    # ------------------------------------------------------------------
+    def _admit(self, cand: DataFrame, shards: DataFrame, round_no: int):
+        """Candidates (url, depth) -> (new frontier rows, shards', counts).
+
+        Single cogroup pass does within-batch dedup + seen-test + blob
+        update; robots are checked on the fresh survivors only.
+        """
+        cand = cand.persist()
+        n_cand = cand.select("url").distinct().count()
+        fresh, new_shards = S.filter_and_update(
+            cand, shards, self.mode, self.n_shards, self.m_bits, self.k
+        )
+        fresh = fresh.withColumn("host", host_expr(F.col("url"))).persist()
+        flagged = fresh.join(F.broadcast(self.robots), "host", "left").withColumn(
+            "denied", pol.robots_denied_expr(F.col("url"), F.col("disallow"))
+        )
+        rows = flagged.select(
+            "url",
+            "host",
+            "depth",
+            F.col("depth").alias("priority"),  # BFS priority = depth
+            F.lit(round_no).alias("discovered_round"),
+            F.when(F.col("denied"), F.lit("robots_denied"))
+            .otherwise(F.lit("pending"))
+            .alias("status"),
+            F.lit(None).cast("long").alias("fetch_round"),
+            F.lit(None).cast("long").alias("fetch_seq"),
+        )
+        n_fresh = fresh.count()
+        counts = {"candidates": n_cand, "fresh": n_fresh, "deduped": n_cand - n_fresh}
+        cand.unpersist()
+        return rows, new_shards, counts
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> dict:
+        """Round 0: admit the seed list; commit the initial snapshot."""
+        shards = S.init_shards(self.spark, self.mode, self.n_shards, self.m_bits, self.k)
+        seeds = self.seeds.select(
+            canonicalize_url_expr("url").alias("url"),
+            F.lit(0).cast("long").alias("depth"),
+        )
+        rows, new_shards, c = self._admit(seeds, shards, 0)
+        rows = rows.persist()
+        counters = {k: 0 for k in COUNTER_KEYS}
+        counters["deduped"] = c["deduped"]
+        counters["robots_denied"] = rows.filter(F.col("status") == "robots_denied").count()
+        counters["discovered"] = c["fresh"] - counters["robots_denied"]
+        self.io.write_table(rows, "frontier", 0)
+        self.io.write_table(new_shards, "seen_shards", 0)
+        self._write_admitted(rows.select("url", F.lit("page").alias("kind")), 0)
+        self._write_counters(counters, 0)
+        self.io.commit_round(0, ["frontier", "seen_shards", "admitted", "crawl_log"])
+        rows.unpersist()
+        return counters
+
+    def _write_counters(self, counters: dict, round_no: int) -> None:
+        row = {"round": round_no, **{k: int(counters.get(k, 0)) for k in COUNTER_KEYS}}
+        schema = "round long, " + ", ".join(f"{k} long" for k in COUNTER_KEYS)
+        self.io.write_table(
+            self.spark.createDataFrame([row], schema), "crawl_log", round_no
+        )
+
+    def _write_admitted(self, df: DataFrame, round_no: int) -> None:
+        self.io.write_table(df, "admitted", round_no)
+
+    # ------------------------------------------------------------------
+    def run_round(self, round_no: int) -> dict:
+        spark = self.spark
+        frontier = self.io.read_table(spark, "frontier", round_no - 1)
+        shards = self.io.read_table(spark, "seen_shards", round_no - 1)
+        pending = frontier.filter(F.col("status") == "pending")
+        n_pending = pending.count()
+        counters = {k: 0 for k in COUNTER_KEYS}
+        if n_pending == 0:
+            return {"done": True, **counters}
+
+        # --- politeness pop (bounded batch) ----------------------------
+        batch = pol.pop_batch(pending, self.hostbudget, self.salt)
+        batch = batch.withColumn(
+            "fetch_seq", F.row_number().over(Window.orderBy("priority", "url"))
+        ).persist()
+        n_batch = batch.count()
+        counters["deferred_politeness"] = n_pending - n_batch
+
+        # --- fetch (join the pages table) -------------------------------
+        fetched = batch.join(
+            self.pages.select("url", "html", "warc_ts"), "url", "left"
+        ).persist()
+        got = fetched.filter(F.col("html").isNotNull()).persist()
+        counters["fetched"] = got.count()
+        counters["missing"] = n_batch - counters["fetched"]
+
+        # --- extract text (byte-identity invariant) + provenance --------
+        extracted = got.select(
+            "url",
+            F.lit(round_no).alias("round"),
+            A.extract_text_udf("html").alias("text_extracted"),
+            F.length("html").alias("content_length"),
+            "warc_ts",
+        )
+        self.io.write_table(extracted, "extracted", round_no)
+
+        # --- link fan-out ------------------------------------------------
+        links = (
+            got.select("url", "depth", F.explode(A.extract_links_udf("html")).alias("href"))
+            .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
+            .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
+            .persist()
+        )
+        page_cand = links.filter(A.is_page_expr(F.col("canon"))).select(
+            F.col("canon").alias("url"), (F.col("depth") + 1).alias("depth")
+        )
+        asset_cand = links.filter(A.is_asset_expr(F.col("canon"))).select(
+            F.col("canon").alias("url"), (F.col("depth") + 1).alias("depth")
+        )
+
+        # --- admit new page URLs (seen filter + robots) ------------------
+        new_rows, shards1, c_pages = self._admit(page_cand, shards, round_no)
+        new_rows = new_rows.persist()
+        # materialize shards before reusing them for the asset pass
+        self.io.write_table(shards1, "_seen_tmp", round_no)
+        shards1 = self.io.read_table(spark, "_seen_tmp", round_no)
+
+        # --- admit + extract asset URLs ----------------------------------
+        asset_rows, shards2, c_assets = self._admit(asset_cand, shards1, round_no)
+        asset_rows = asset_rows.persist()
+        self.io.write_table(shards2, "seen_shards", round_no)
+
+        counters["deduped"] = c_pages["deduped"] + c_assets["deduped"]
+        n_pages_denied = new_rows.filter(F.col("status") == "robots_denied").count()
+        n_assets_denied = asset_rows.filter(F.col("status") == "robots_denied").count()
+        counters["robots_denied"] = n_pages_denied + n_assets_denied
+        counters["discovered"] = c_pages["fresh"] - n_pages_denied
+
+        allowed_assets = asset_rows.filter(F.col("status") == "pending").select(
+            F.col("url").alias("asset_url")
+        )
+        meta, dead = self._extract_assets(allowed_assets, round_no)
+        self.io.write_table(meta, "metadata", round_no)
+        self.io.write_table(dead, "dead_letters", round_no)
+        meta2 = self.io.read_table(spark, "metadata", round_no)
+        dead2 = self.io.read_table(spark, "dead_letters", round_no)
+        counters["assets_extracted"] = meta2.select("asset_url").distinct().count()
+        counters["dead_letters"] = dead2.count()
+
+        self._write_admitted(
+            new_rows.select("url", F.lit("page").alias("kind")).unionByName(
+                asset_rows.select("url", F.lit("asset").alias("kind"))
+            ),
+            round_no,
+        )
+
+        # --- frontier update (snapshot rewrite; Iceberg MERGE in prod) ---
+        batch_done = fetched.select(
+            "url", "host", "depth", "priority", "discovered_round",
+            F.when(F.col("html").isNotNull(), F.lit("fetched"))
+            .otherwise(F.lit("missing"))
+            .alias("status"),
+            F.lit(round_no).alias("fetch_round"),
+            "fetch_seq",
+        )
+        new_frontier = (
+            frontier.join(batch.select("url"), "url", "left_anti")
+            .unionByName(batch_done)
+            .unionByName(new_rows)
+        )
+        # asset URLs live in the seen-set + admitted ledger, not the page
+        # frontier (they are extraction targets, not crawlable pages)
+        self.io.write_table(new_frontier, "frontier", round_no)
+        self._write_counters(counters, round_no)
+        self.io.commit_round(
+            round_no,
+            ["frontier", "seen_shards", "admitted", "crawl_log", "extracted",
+             "metadata", "dead_letters"],
+        )
+        for df in (batch, fetched, got, links, new_rows, asset_rows):
+            df.unpersist()
+        return {"done": False, **counters}
+
+    # ------------------------------------------------------------------
+    def _extract_assets(self, allowed_assets: DataFrame, round_no: int):
+        """Stage-2 parse/enrich (geoparse/geoparser.go:160-218)."""
+        parsed = allowed_assets.withColumn(
+            "parse", P.parse_name_expr(F.col("asset_url"))
+        ).persist()
+        dead = parsed.filter(F.col("parse.pattern").isNull()).select(
+            F.col("asset_url"), F.lit(round_no).alias("round")
+        )
+        ok = parsed.filter(F.col("parse.pattern").isNotNull())
+        ds = G.extract_gdal_metadata(ok, "asset_url")
+        # B3: drop unopened datasets (geoparser.go:184)
+        ds = ds.filter(F.col("proj_wkt") != "")
+        proj4_map = F.create_map(
+            *[F.lit(x) for kv in G.PROJ4_OF_WKT.items() for x in kv]
+        )
+        meta = ds.select(
+            "asset_url",
+            F.lit(round_no).alias("round"),
+            F.col("parse.pattern").alias("pattern"),
+            F.col("parse.fields").alias("filename_fields"),
+            "file_type", "ds_name", "raster_count", "array_type",
+            "x_size", "y_size", "proj_wkt", "geotransform",
+            F.coalesce(proj4_map[F.col("proj_wkt")], F.lit("")).alias("proj4"),
+            polygon_wkt_expr(F.col("geotransform"), F.col("x_size"), F.col("y_size")).alias(
+                "polygon"
+            ),
+            F.when(
+                F.col("nc_times").isNotNull(),
+                F.transform(
+                    F.col("nc_times"),
+                    lambda s: F.to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                ),
+            )
+            .otherwise(F.array(F.col("parse.ts")))
+            .alias("timestamps"),
+        )
+        return meta, dead
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int = 100, start_round: int | None = None) -> list[dict]:
+        """Run until the frontier drains (H3 analog: Wait barrier)."""
+        log = []
+        if start_round is None:
+            if self.io.latest_round() is None:
+                self.init_state()
+            start_round = self.io.latest_round() + 1
+        r = start_round
+        while r < start_round + max_rounds:
+            res = self.run_round(r)
+            if res.pop("done"):
+                break
+            log.append({"round": r, **res})
+            r += 1
+        return log
+
+    # ------------------------------------------------------------------
+    def crawl_order(self) -> list[tuple[int, int, str]]:
+        f = self.io.read_table(self.spark, "frontier")
+        rows = (
+            f.filter(F.col("status") == "fetched")
+            .select("fetch_round", "fetch_seq", "url")
+            .orderBy("fetch_round", "fetch_seq")
+            .collect()
+        )
+        return [(r["fetch_round"], r["fetch_seq"], r["url"]) for r in rows]
+
+    def seen_urls(self) -> list[str]:
+        m = self.io._read_manifest()
+        urls = set()
+        for r in m["committed"]:
+            try:
+                df = self.io.read_table(self.spark, "admitted", r)
+            except Exception:
+                continue
+            urls.update(x["url"] for x in df.select("url").collect())
+        return sorted(urls)
+
+
+def read_all_rounds(spark: SparkSession, io: TableIO, name: str) -> DataFrame | None:
+    m = io._read_manifest()
+    paths = []
+    for r in m["committed"]:
+        p = io._table_path(name, r)
+        if os.path.exists(p):
+            paths.append(p)
+    return spark.read.parquet(*paths) if paths else None

@@ -1,0 +1,214 @@
+"""Single-threaded pure-Python oracle crawler (SURVEY.md §5.1).
+
+The reference ships zero tests, so golden behavior is reconstructed from
+its source semantics: this module is a direct, sequential transcription
+of the crawl contract the Spark engine implements (frontier.py).  Golden
+tests assert EXACT equality between the two on: crawl ordering, final
+URL-seen set, per-round counters, extracted text bytes, and metadata
+rows.  Shared pure functions (canon/assets/parsers/gdalmeta/geometry,
+plus bit-identical xxhash64) make byte-parity achievable; the crawl loop
+itself is written twice on purpose — that is the point of the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from .assets import (
+    extract_links_py,
+    extract_text_py,
+    is_asset_py,
+    is_page_py,
+    resolve_href_py,
+)
+from .canon import canonicalize_url, host_of
+from .gdalmeta import PROJ4_OF_WKT, fake_gdal_file_py
+from .geometry import polygon_wkt_py
+from .parsers import parse_name_py
+from .politeness import DEFAULT_BUDGET, robots_denied_py
+from .seen import PySeenFilter
+
+
+def _parse_rfc3339(s: str):
+    import datetime as dt
+
+    return dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=dt.timezone.utc)
+
+
+class PyRefCrawl:
+    def __init__(
+        self,
+        pages: pd.DataFrame,
+        seeds: pd.DataFrame,
+        robots: pd.DataFrame,
+        hostbudget: pd.DataFrame,
+        mode: str = "exact",
+        n_shards: int = 8,
+        m_bits: int = 1 << 23,
+        k: int = 7,
+    ):
+        self.pages = {r.url: r for r in pages.itertuples()}
+        self.seeds = list(seeds.itertuples())
+        self.robots = {r.host: list(r.disallow) for r in robots.itertuples()}
+        self.budgets = {r.host: int(r.budget) for r in hostbudget.itertuples()}
+        self.seen = PySeenFilter(mode, n_shards, m_bits, k)
+        self.frontier: dict[str, dict] = {}
+        self.admitted: list[tuple[str, str]] = []
+        self.crawl_order: list[tuple[int, int, str]] = []
+        self.extracted: dict[str, str] = {}  # url -> extracted text
+        self.metadata: list[dict] = []
+        self.dead_letters: list[tuple[str, int]] = []
+        self.counters_log: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def _admit(self, cands: dict[str, int], round_no: int, kind: str):
+        n_cand = len(cands)
+        fresh = [u for u in sorted(cands) if self.seen.add(u)]
+        rows = []
+        denied = 0
+        for u in fresh:
+            host = host_of(u)
+            is_denied = robots_denied_py(u, self.robots.get(host))
+            denied += is_denied
+            rows.append(
+                {
+                    "url": u,
+                    "host": host,
+                    "depth": cands[u],
+                    "priority": cands[u],
+                    "discovered_round": round_no,
+                    "status": "robots_denied" if is_denied else "pending",
+                    "fetch_round": None,
+                    "fetch_seq": None,
+                }
+            )
+            self.admitted.append((u, kind))
+        return rows, n_cand - len(fresh), denied
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> dict:
+        cands: dict[str, int] = {}
+        for s in self.seeds:
+            cands.setdefault(canonicalize_url(s.url), 0)
+        rows, deduped, denied = self._admit(cands, 0, "page")
+        for r in rows:
+            self.frontier[r["url"]] = r
+        counters = {
+            "round": 0, "fetched": 0, "missing": 0, "deferred_politeness": 0,
+            "deduped": deduped, "robots_denied": denied,
+            "discovered": len(rows) - denied, "assets_extracted": 0, "dead_letters": 0,
+        }
+        self.counters_log.append(counters)
+        return counters
+
+    # ------------------------------------------------------------------
+    def run_round(self, round_no: int) -> dict | None:
+        pending = [r for r in self.frontier.values() if r["status"] == "pending"]
+        if not pending:
+            return None
+        from .politeness import pop_batch_py
+
+        batch = pop_batch_py(pending, self.budgets)
+        batch.sort(key=lambda r: (r["priority"], r["url"]))
+        counters = {k: 0 for k in (
+            "fetched", "missing", "deferred_politeness", "deduped",
+            "robots_denied", "discovered", "assets_extracted", "dead_letters",
+        )}
+        counters["deferred_politeness"] = len(pending) - len(batch)
+
+        page_cands: dict[str, int] = {}
+        asset_cands: dict[str, int] = {}
+        for seq, row in enumerate(batch, start=1):
+            row["fetch_round"] = round_no
+            row["fetch_seq"] = seq
+            page = self.pages.get(row["url"])
+            if page is None:
+                row["status"] = "missing"
+                counters["missing"] += 1
+                continue
+            row["status"] = "fetched"
+            counters["fetched"] += 1
+            self.crawl_order.append((round_no, seq, row["url"]))
+            html = page.html if isinstance(page.html, bytes) else bytes(page.html)
+            self.extracted[row["url"]] = extract_text_py(html)
+            for href in extract_links_py(html):
+                canon = canonicalize_url(resolve_href_py(row["url"], href))
+                d = row["depth"] + 1
+                if is_page_py(canon):
+                    if canon not in page_cands or d < page_cands[canon]:
+                        page_cands[canon] = d
+                elif is_asset_py(canon):
+                    if canon not in asset_cands or d < asset_cands[canon]:
+                        asset_cands[canon] = d
+
+        new_rows, dd_p, den_p = self._admit(page_cands, round_no, "page")
+        asset_rows, dd_a, den_a = self._admit(asset_cands, round_no, "asset")
+        counters["deduped"] = dd_p + dd_a
+        counters["robots_denied"] = den_p + den_a
+        counters["discovered"] = len(new_rows) - den_p
+        for r in new_rows:
+            self.frontier[r["url"]] = r
+
+        for r in asset_rows:
+            if r["status"] != "pending":
+                continue
+            url = r["url"]
+            pattern, fields, ts = parse_name_py(url)
+            if pattern is None:
+                self.dead_letters.append((url, round_no))
+                counters["dead_letters"] += 1
+                continue
+            gfile = fake_gdal_file_py(url)
+            emitted = False
+            for ds in gfile["datasets"]:
+                if ds["proj_wkt"] == "":  # B3 (geoparser.go:184)
+                    continue
+                emitted = True
+                nc = ds["extra_metadata"].get("nc_times")
+                times = [_parse_rfc3339(s) for s in nc] if nc else [ts]
+                self.metadata.append(
+                    {
+                        "asset_url": url,
+                        "round": round_no,
+                        "pattern": pattern,
+                        "filename_fields": fields,
+                        "file_type": gfile["file_type"],
+                        "ds_name": ds["ds_name"],
+                        "raster_count": ds["raster_count"],
+                        "array_type": ds["array_type"],
+                        "x_size": ds["x_size"],
+                        "y_size": ds["y_size"],
+                        "proj_wkt": ds["proj_wkt"],
+                        "geotransform": ds["geotransform"],
+                        "proj4": PROJ4_OF_WKT.get(ds["proj_wkt"], ""),
+                        "polygon": polygon_wkt_py(
+                            ds["geotransform"], ds["x_size"], ds["y_size"]
+                        ),
+                        "timestamps": times,
+                    }
+                )
+            counters["assets_extracted"] += emitted
+
+        self.counters_log.append({"round": round_no, **counters})
+        return counters
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int = 100) -> None:
+        self.init_state()
+        r = 1
+        while r <= max_rounds:
+            if self.run_round(r) is None:
+                break
+            r += 1
+
+    # ------------------------------------------------------------------
+    def seen_urls(self) -> list[str]:
+        return sorted(u for u, _ in self.admitted)
+
+    def extracted_sha(self) -> dict[str, str]:
+        return {
+            u: hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for u, t in self.extracted.items()
+        }

@@ -1,0 +1,556 @@
+"""Driver-oracle query suite, part 1: crawl-semantics operators expressed
+over the driver's generic tables, plus the relational operator sweep
+(SURVEY.md §5.2 item 3 — covers B1/B3/B5/B6, C1-C3, D1/D3/D4, E1-E3, F,
+G3/G4/G5/G7/G8/G11/G12).
+
+Every query has a Spark callable ``(spark, sf_dir) -> DataFrame`` and an
+equivalent DuckDB SQL string; computed columns are aliased identically on
+both sides (driver hash-compares values by sorted column name).  Float
+aggregates are rounded on both sides to absorb summation-order ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .canon import canonicalize_url_expr, host_expr
+from .gdalmeta import nc_times_expr
+from .parsers import java_pattern
+from .politeness import robots_denied_expr
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl-semantics operators (graft core, SQL-expressible projections)
+# ---------------------------------------------------------------------------
+
+# G11: URL canonicalization — oracle states the *expected* canonical form
+# analytically, so it independently checks the whole rule chain.
+@_q(
+    "canon_urls",
+    """
+    select doc_id,
+           'http://host' || (doc_id % 7)::varchar || '.example.org/p/' ||
+             doc_id::varchar || '.html' as url_canon,
+           'host' || (doc_id % 7)::varchar || '.example.org' as host
+    from documents
+    """,
+)
+def canon_urls(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTP://Host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.ORG:80/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html#frag"),
+    )
+    canon = canonicalize_url_expr(raw)
+    return d.select("doc_id", canon.alias("url_canon"), host_expr(canon).alias("host"))
+
+
+# E1: the politeness pop shape — per-host top-3 by (priority, url)
+@_q(
+    "host_topk_pop",
+    """
+    select doc_id, host, priority from (
+      select doc_id,
+             'host' || (doc_id % 7)::varchar as host,
+             doc_id % 5 as priority,
+             row_number() over (
+               partition by 'host' || (doc_id % 7)::varchar
+               order by doc_id % 5, doc_id
+             ) as rk
+      from documents) where rk <= 3
+    """,
+)
+def host_topk_pop(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("host"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        (F.col("doc_id") % 5).alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "host", "priority")
+    )
+
+
+# B1: the regex gate before expensive work (geocrawl/geocrawler.go:47)
+@_q(
+    "regex_gate_count",
+    """
+    select lang, count(*)::bigint as n_match
+    from documents
+    where regexp_matches(text, 'scan [a-z]+ merge')
+    group by lang
+    """,
+)
+def regex_gate_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").rlike("scan [a-z]+ merge"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_match"))
+    )
+
+
+# G1-G3: filename parse + parseTime over synthesized landsat names
+@_q(
+    "parse_landsat_names",
+    """
+    select doc_id,
+           (2013 + doc_id % 5)::varchar as year,
+           lpad((1 + doc_id % 365)::varchar, 3, '0') as julian_day,
+           make_timestamp(2013 + doc_id % 5, 1, 1, 0, 0, 0)
+             + (doc_id % 365) * interval 1 day as ts
+    from documents
+    """,
+)
+def parse_landsat_names(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fname = F.concat(
+        F.lit("LC8"),
+        F.lpad((F.col("doc_id") % 233).cast("string"), 3, "0"),
+        F.lpad((F.col("doc_id") % 248).cast("string"), 3, "0"),
+        (2013 + F.col("doc_id") % 5).cast("string"),
+        F.lpad((1 + F.col("doc_id") % 365).cast("string"), 3, "0"),
+        F.lit("LGN00_B1.TIF"),
+    )
+    jp = java_pattern("landsat")
+    year = F.regexp_extract(fname, jp, 4)
+    jd = F.regexp_extract(fname, jp, 5)
+    ts = F.make_timestamp(
+        year.cast("int"), F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0)
+    ) + F.make_interval(
+        F.lit(0), F.lit(0), F.lit(0), jd.cast("int") - 1, F.lit(0), F.lit(0), F.lit(0)
+    )
+    return d.select(
+        "doc_id", year.alias("year"), jd.alias("julian_day"), ts.alias("ts")
+    )
+
+
+# G12: geotransform -> footprint polygon as pure column math
+@_q(
+    "geotransform_polygon",
+    """
+    select l_orderkey, l_linenumber,
+           printf('POLYGON ((%f %f,%f %f,%f %f,%f %f,%f %f))',
+                  gx, gy, gx, gy + ys * -0.25, gx + xs * 0.25, gy + ys * -0.25,
+                  gx + xs * 0.25, gy, gx, gy) as polygon
+    from (select l_orderkey, l_linenumber,
+                 (l_partkey % 720) * 0.5 - 180 as gx,
+                 90 - (l_suppkey % 360) * 0.5 as gy,
+                 100 + l_linenumber * 10 as xs,
+                 80 + (l_partkey % 7) * 20 as ys
+          from lineitem)
+    """,
+)
+def geotransform_polygon(spark, sf_dir):
+    from .geometry import polygon_wkt_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    gt = F.array(
+        (F.col("l_partkey") % 720).cast("double") * 0.5 - 180,
+        F.lit(0.25),
+        F.lit(0.0),
+        90 - (F.col("l_suppkey") % 360).cast("double") * 0.5,
+        F.lit(0.0),
+        F.lit(-0.25),
+    )
+    xs = (100 + F.col("l_linenumber") * 10).cast("int")
+    ys = (80 + (F.col("l_partkey") % 7) * 20).cast("int")
+    return li.select(
+        "l_orderkey", "l_linenumber", polygon_wkt_expr(gt, xs, ys).alias("polygon")
+    )
+
+
+# G4+G5: netCDF "<unit> since <date>" time expansion (geolib/gdal.go:100-125)
+@_q(
+    "nc_time_expand",
+    """
+    select event_id,
+           strftime(start_ts + to_seconds((trunc(v)::bigint * step)::bigint),
+                    '%Y-%m-%dT%H:%M:%SZ') as t
+    from (
+      select event_id,
+             case event_id % 3
+               when 0 then timestamp '2000-01-01 00:00:00'
+               when 1 then timestamp '1900-01-01 00:00:00'
+               else timestamp '1970-01-01 00:00:00' end as start_ts,
+             case event_id % 3 when 0 then 1 when 1 then 3600 else 86400 end as step,
+             unnest([(event_id % 1000) + 0.5, (event_id % 7) + 0.25]) as v
+      from events)
+    """,
+)
+def nc_time_expand(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    units = F.element_at(
+        F.array(
+            F.lit("seconds since 2000-01-01 00:00:00.0"),
+            F.lit("hours since 1900-1-1 0:0:0"),
+            F.lit("days since 1970-01-01 00:00:00.0"),
+        ),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    vals = F.format_string(
+        "{%d.5,%d.25}", F.col("event_id") % 1000, F.col("event_id") % 7
+    )
+    return e.select(
+        "event_id", F.explode(nc_times_expr(units, vals)).alias("t")
+    )
+
+
+# robots allow/deny gate (graft politeness; exists() higher-order fn)
+@_q(
+    "robots_gate",
+    """
+    select doc_id,
+           (doc_id % 2 = 0 and doc_id % 3 = 1) as denied
+    from documents
+    """,
+)
+def robots_gate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://h.org"),
+        F.element_at(
+            F.array(F.lit("/p/x.html"), F.lit("/private/y.html"), F.lit("/")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    disallow = F.when(
+        F.col("doc_id") % 2 == 0, F.array(F.lit("/private/"))
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", robots_denied_expr(url, disallow).alias("denied")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational sweep (TPC-H-ish; C/D/E/F coverage)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q1_pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) as sum_qty,
+           round(sum(l_extendedprice), 2) as sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+           round(avg(l_quantity), 4) as avg_qty,
+           round(avg(l_discount), 4) as avg_disc,
+           count(*)::bigint as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02 00:00:00'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    select l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+           o_orderdate, o_orderpriority
+    from customer join orders on c_custkey = o_custkey
+                  join lineitem on l_orderkey = o_orderkey
+    where c_mktsegment = 'BUILDING'
+      and o_orderdate < timestamp '1997-03-15 00:00:00'
+      and l_shipdate > timestamp '1997-03-15 00:00:00'
+    group by l_orderkey, o_orderdate, o_orderpriority
+    order by revenue desc, l_orderkey
+    limit 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_revenue_by_nation",
+    """
+    select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+    from customer
+      join orders on c_custkey = o_custkey
+      join lineitem on l_orderkey = o_orderkey
+      join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+      join nation on c_nationkey = n_nationkey
+      join region on n_regionkey = r_regionkey
+    where r_name = 'ASIA'
+      and o_orderdate >= timestamp '1996-01-01 00:00:00'
+      and o_orderdate < timestamp '1997-01-01 00:00:00'
+    group by n_name
+    """,
+)
+def q5_revenue_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "top3_orders_per_customer",
+    """
+    select o_custkey, o_orderkey, o_totalprice from (
+      select o_custkey, o_orderkey, o_totalprice,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey) as rk
+      from orders) where rk <= 3
+    """,
+)
+def top3_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "distinct_parts_per_supplier",
+    """
+    select l_suppkey, count(distinct l_partkey)::bigint as n_parts
+    from lineitem group by l_suppkey
+    """,
+)
+def distinct_parts_per_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts")
+    )
+
+
+@_q(
+    "parts_with_orders_semi",
+    """
+    select p_partkey, p_brand from part
+    where p_partkey in (select l_partkey from lineitem)
+    """,
+)
+def parts_with_orders_semi(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@_q(
+    "customers_no_orders_anti",
+    """
+    select c_custkey, c_name from customer
+    where c_custkey not in (select o_custkey from orders)
+    """,
+)
+def customers_no_orders_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "rollup_customer_counts",
+    """
+    select coalesce(r_name, 'ALL') as region_name,
+           coalesce(n_name, 'ALL') as nation_name,
+           count(*)::bigint as n_customers
+    from customer join nation on c_nationkey = n_nationkey
+                  join region on n_regionkey = r_regionkey
+    group by rollup(r_name, n_name)
+    """,
+)
+def rollup_customer_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+    )
+
+
+@_q(
+    "set_ops_orders",
+    """
+    (select o_orderkey from orders where o_orderpriority = '1-URGENT'
+     union
+     select o_orderkey from orders where o_totalprice > 400000)
+    except
+    (select o_orderkey from orders where o_orderpriority = '1-URGENT'
+     intersect
+     select o_orderkey from orders where o_totalprice > 400000)
+    """,
+)
+def set_ops_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    return urgent.union(big).distinct().exceptAll(urgent.intersect(big))
+
+
+@_q(
+    "sessionize_events",
+    """
+    select user_id, count(*)::bigint as n_sessions from (
+      select user_id,
+             case when lag(ts) over (partition by user_id order by ts, event_id)
+                       is null
+                  or ts - lag(ts) over (partition by user_id order by ts, event_id)
+                       > interval 30 minute
+                  then 1 else 0 end as new_session
+      from events)
+    where new_session = 1
+    group by user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .filter(F.col("new_session") == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+    )
+
+
+@_q(
+    "json_extract_events",
+    """
+    select json_extract_string(props, '$.k')::bigint % 10 as k_bucket,
+           count(*)::bigint as n,
+           round(sum(value), 2) as sum_value
+    from events
+    group by 1
+    """,
+)
+def json_extract_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long") % 10
+    return (
+        e.groupBy(k.alias("k_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@_q(
+    "date_trunc_daily",
+    """
+    select date_trunc('day', ts)::date as day,
+           event_type,
+           count(*)::bigint as n,
+           round(avg(value), 4) as avg_value
+    from events group by 1, 2
+    """,
+)
+def date_trunc_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,502 @@
+"""Driver-oracle query suite, part 2: large-scale training-data pipeline
+operators over the documents/embeddings tables — deduplication (exact,
+n-gram Jaccard, MinHash+LSH, SimHash), similarity search (brute-force
+cosine top-k, IVF-bucketed variant), text analysis (language-ID
+heuristic, quality scores, token counts, fingerprints), and multimodal
+binary-column plumbing.
+
+Portability rules used throughout (so the DuckDB oracle hash-matches):
+- hashes via md5() (identical lowercase hex in both engines);
+- MinHash = lexicographic MIN of salted md5 strings (engine-agnostic,
+  no integer-hash divergence);
+- float scores rounded before ranking; ranking ties broken by ids.
+
+Scale notes: every dedup/similarity op here is shuffle-shaped the way the
+100 TB version would be — shingle explode + groupBy (partial aggregation
+map-side), LSH band buckets instead of all-pairs, IVF cluster pruning
+instead of brute force.  Brute-force variants are included as the
+correctness baseline the approximate ones are judged against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries_core import ORACLE_SQL, SPARK_QUERIES, _q, _t
+
+
+def _words(col):
+    return F.split(col, " ")
+
+
+def _shingles(words):
+    """Distinct word 3-grams (guarded for short docs)."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - 2)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_SHINGLE_SQL = (
+    "case when len(string_split(text, ' ')) >= 3 then "
+    "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+    "|| ' ' || string_split(text, ' ')[i+2])) else [] end"
+)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """
+    select md5(text) as fp, min(doc_id)::bigint as keeper,
+           count(*)::bigint as n_copies
+    from documents group by 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").cast("long").alias("keeper"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    with sh as (
+      select doc_id, unnest({_SHINGLE_SQL}) as s from documents
+    ),
+    sizes as (select doc_id, count(*)::bigint as n from sh group by 1),
+    inter as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*)::bigint as i
+      from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select doc_a, doc_b, round(i / (na.n + nb.n - i), 4) as jaccard
+    from inter
+      join sizes na on doc_a = na.doc_id
+      join sizes nb on doc_b = nb.doc_id
+    where i / (na.n + nb.n - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_BANDS = 4
+
+
+def _minhash_band_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{j}|' || s)) as mh_{j}" for j in range(_N_BANDS)
+    )
+    bands = " union all ".join(
+        f"select doc_id, {j} as band, mh_{j} as mh from sig" for j in range(_N_BANDS)
+    )
+    return f"""
+    with sh as (
+      select doc_id, unnest({_SHINGLE_SQL}) as s from documents
+    ),
+    sig as (select doc_id, {mins} from sh group by doc_id),
+    bands as ({bands})
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           count(*)::bigint as n_shared_bands
+    from bands a join bands b
+      on a.band = b.band and a.mh = b.mh and a.doc_id < b.doc_id
+    group by 1, 2
+    """
+
+
+@_q("dedup_minhash_lsh", _minhash_band_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs: shingle -> salted-md5 minhash per band
+    -> band-bucket join (the scale path: pairs share a bucket, never
+    all-pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh_{j}")
+            for j in range(_N_BANDS)
+        ]
+    )
+    bands = None
+    for j in range(_N_BANDS):
+        bj = sig.select(
+            "doc_id", F.lit(j).alias("band"), F.col(f"mh_{j}").alias("mh")
+        )
+        bands = bj if bands is None else bands.unionByName(bj)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+
+
+_N_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    bits = ", ".join(
+        f"sum(case when regexp_matches(substr(md5(w), {b + 1}, 1), '[13579bdf]') "
+        f"then 1 else -1 end) as s_{b}"
+        for b in range(_N_SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(case when s_{b} > 0 then {1 << b} else 0 end)"
+        for b in range(_N_SIMHASH_BITS)
+    )
+    return f"""
+    with w as (select doc_id, unnest(string_split(text, ' ')) as w from documents),
+    s as (select doc_id, {bits} from w group by doc_id),
+    sig as (select doc_id, ({val})::bigint as simhash from s)
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           bit_count(xor(a.simhash, b.simhash))::bigint as hamming
+    from sig a join sig b on a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 2
+    """
+
+
+@_q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: per-word md5-bit votes -> 16-bit signature ->
+    all-pairs hamming <= 2 (at scale: bucket by signature bands first)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(F.md5("w"), b + 1, 1).rlike("[13579bdf]"), 1
+            ).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(_N_SIMHASH_BITS)
+    ]
+    s = w.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(_N_SIMHASH_BITS):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    sig = s.select("doc_id", sim.cast("long").alias("simhash"))
+    a = sig.alias("a")
+    b2 = sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b2, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@_q(
+    "sim_bruteforce_topk",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    n as (select vec_id, e, sqrt(list_dot_product(e, e)) as nrm from v),
+    pairs as (
+      select q.vec_id as query_id, t.vec_id as target_id,
+             round(list_dot_product(q.e, t.e) / (q.nrm * t.nrm), 3) as cos
+      from n q join n t on q.vec_id < 20 and t.vec_id != q.vec_id
+    )
+    select query_id, target_id, cos from (
+      select *, row_number() over (partition by query_id
+                                   order by cos desc, target_id) as rk
+      from pairs) where rk <= 5
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-5 — the correctness baseline for ANN."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    q = n.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    t = n.select(
+        F.col("vec_id").alias("target_id"), F.col("e").alias("te"), F.col("nrm").alias("tn")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(t, F.col("target_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "target_id",
+            F.round(
+                _dot(F.col("qe"), F.col("te")) / (F.col("qn") * F.col("tn")), 3
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "target_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "target_id", "cos")
+    )
+
+
+@_q(
+    "sim_ivf_topk",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    n as (select vec_id, e, sqrt(list_dot_product(e, e)) as nrm from v),
+    cent as (select vec_id as cid, e as ce, nrm as cn from n where vec_id < 8),
+    assign as (
+      select vec_id, cid from (
+        select n.vec_id, cent.cid,
+               row_number() over (partition by n.vec_id
+                 order by round(list_dot_product(n.e, cent.ce) / (n.nrm * cent.cn), 6)
+                          desc, cent.cid) as rk
+        from n cross join cent) where rk = 1
+    ),
+    q as (select n.vec_id as query_id, e as qe, nrm as qn, a.cid
+          from n join assign a using (vec_id) where vec_id % 50 = 0),
+    t as (select n.vec_id as target_id, e as te, nrm as tn, a.cid
+          from n join assign a using (vec_id)),
+    pairs as (
+      select query_id, target_id,
+             round(list_dot_product(qe, te) / (qn * tn), 3) as cos
+      from q join t using (cid)
+      where target_id != query_id
+    )
+    select query_id, target_id, cos from (
+      select *, row_number() over (partition by query_id
+                                   order by cos desc, target_id) as rk
+      from pairs) where rk <= 3
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: assign every vector to its nearest of 8 centroids
+    (deterministic: the first 8 vectors), search only within the query's
+    cluster — the scale path (cluster pruning) vs brute force."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e")))).persist()
+    cent = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6).alias(
+            "c_cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    na = n.join(assign, "vec_id")
+    q = na.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "cid",
+    )
+    t = na.select(
+        F.col("vec_id").alias("target_id"),
+        F.col("e").alias("te"),
+        F.col("nrm").alias("tn"),
+        "cid",
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(t, "cid")
+        .filter(F.col("target_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "target_id",
+            F.round(
+                _dot(F.col("qe"), F.col("te")) / (F.col("qn") * F.col("tn")), 3
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "target_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "target_id", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@_q(
+    "text_quality_scores",
+    """
+    select doc_id,
+           len(string_split(text, ' '))::bigint as n_words,
+           round(n_chars / len(string_split(text, ' ')), 3) as avg_chars_per_word,
+           round(len(list_filter(string_split(text, ' '), w -> w = 'the'))
+                 / len(string_split(text, ' ')), 4) as stopword_ratio
+    from documents
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    nw = F.size(words).cast("long")
+    n_the = F.size(F.filter(words, lambda w: w == "the"))
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(F.col("n_chars") / nw, 3).alias("avg_chars_per_word"),
+        F.round(n_the / nw, 4).alias("stopword_ratio"),
+    )
+
+
+@_q(
+    "token_counts",
+    """
+    select source,
+           sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               t -> t != '')))::bigint as n_tokens,
+           count(*)::bigint as n_docs
+    from documents group by source
+    """,
+)
+def token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    n = F.size(F.filter(toks, lambda t: t != ""))
+    return d.groupBy("source").agg(
+        F.sum(n).cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+@_q(
+    "doc_fingerprints",
+    """
+    select lang,
+           count(distinct md5(substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                                     1, 64)))::bigint as n_fingerprints,
+           count(*)::bigint as n_docs
+    from documents group by lang
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.substring(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 64)
+    )
+    return d.groupBy("lang").agg(
+        F.countDistinct(fp).cast("long").alias("n_fingerprints"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+@_q(
+    "langid_heuristic",
+    """
+    select guess, count(*)::bigint as n from (
+      select case
+        when len(list_filter(string_split(text, ' '),
+                 w -> w in ('the', 'a', 'and', 'of'))) >= 2 then 'en'
+        when len(list_filter(string_split(text, ' '),
+                 w -> w in ('el', 'la', 'de', 'y'))) >= 2 then 'es'
+        else 'unknown' end as guess
+      from documents)
+    group by guess
+    """,
+)
+def langid_heuristic(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    en = F.size(F.filter(words, lambda w: w.isin("the", "a", "and", "of")))
+    es = F.size(F.filter(words, lambda w: w.isin("el", "la", "de", "y")))
+    guess = (
+        F.when(en >= 2, F.lit("en")).when(es >= 2, F.lit("es")).otherwise(F.lit("unknown"))
+    )
+    return d.select(guess.alias("guess")).groupBy("guess").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+@_q(
+    "multimodal_binary_meta",
+    """
+    select doc_id,
+           octet_length(encode(text))::bigint as n_bytes,
+           lower(substr(hex(encode(text)), 1, 8)) as magic_hex
+    from documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary column plumbing (the decode itself is stubbed in
+    multimodal.py; this proves schema/byte-level ops match an oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.lower(F.substring(F.hex(blob), 1, 8)).alias("magic_hex"),
+    )

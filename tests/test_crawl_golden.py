@@ -1,0 +1,195 @@
+"""End-to-end golden crawl replay (SURVEY.md §5.2 item 2, north_rule).
+
+Runs the Spark engine and the single-threaded pyref oracle on the same
+deterministic synthetic page graph, same seed list, same politeness
+budgets, and asserts EXACT equality of:
+  (a) crawl ordering (round, seq, url),
+  (b) final URL-seen set,
+  (c) per-round counters,
+  (d) extracted text per url (byte-identity via sha256),
+  (e) metadata rows (full parse stage output),
+and (f) kill-at-round-k + resume reproduces the identical ordering (H4).
+"""
+
+import hashlib
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from geocrawl_spark import synth
+from geocrawl_spark.frontier import COUNTER_KEYS, CrawlEngine, read_all_rounds
+from geocrawl_spark.pyref import PyRefCrawl
+
+N_PAGES, N_HOSTS = 120, 8
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    return {
+        "pages": synth.gen_pages(N_PAGES, N_HOSTS),
+        "seeds": synth.gen_seeds(N_HOSTS),
+        "robots": synth.gen_robots(N_HOSTS),
+        "budget": synth.gen_hostbudget(N_HOSTS),
+    }
+
+
+@pytest.fixture(scope="module")
+def pyref_run(fixtures):
+    ref = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], fixtures["robots"], fixtures["budget"]
+    )
+    ref.run(max_rounds=50)
+    return ref
+
+
+def _mk_engine(spark, fixtures, tmpdir, mode="exact"):
+    return CrawlEngine(
+        spark,
+        pages=spark.createDataFrame(
+            fixtures["pages"], "url string, warc_ts timestamp, html binary, text string, lang string"
+        ),
+        seeds=spark.createDataFrame(fixtures["seeds"]),
+        robots=spark.createDataFrame(fixtures["robots"], "host string, disallow array<string>"),
+        hostbudget=spark.createDataFrame(fixtures["budget"]),
+        base_dir=str(tmpdir),
+        mode=mode,
+        n_shards=4,
+        salt=4,
+        m_bits=1 << 18,
+        k=7,
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_run(spark, fixtures, tmp_path_factory):
+    eng = _mk_engine(spark, fixtures, tmp_path_factory.mktemp("crawl"))
+    log = eng.run(max_rounds=50)
+    return eng, log
+
+
+def test_crawl_order_identical(spark_run, pyref_run):
+    eng, _ = spark_run
+    assert eng.crawl_order() == pyref_run.crawl_order
+    assert len(pyref_run.crawl_order) > 50  # the crawl actually went deep
+
+
+def test_seen_set_identical(spark_run, pyref_run):
+    eng, _ = spark_run
+    assert eng.seen_urls() == pyref_run.seen_urls()
+
+
+def test_counters_identical(spark_run, pyref_run):
+    eng, _ = spark_run
+    log = read_all_rounds(eng.spark, eng.io, "crawl_log")
+    got = {
+        r["round"]: {k: r[k] for k in COUNTER_KEYS}
+        for r in log.collect()
+    }
+    want = {
+        c["round"]: {k: c[k] for k in COUNTER_KEYS}
+        for c in pyref_run.counters_log
+    }
+    assert got == want
+    # politeness + robots actually exercised
+    assert sum(c["deferred_politeness"] for c in pyref_run.counters_log) > 0
+    assert sum(c["robots_denied"] for c in pyref_run.counters_log) > 0
+    assert sum(c["deduped"] for c in pyref_run.counters_log) > 0
+
+
+def test_extracted_text_byte_identical(spark_run, pyref_run):
+    eng, _ = spark_run
+    df = read_all_rounds(eng.spark, eng.io, "extracted")
+    got = {
+        r["url"]: hashlib.sha256(r["text_extracted"].encode("utf-8")).hexdigest()
+        for r in df.collect()
+    }
+    assert got == pyref_run.extracted_sha()
+    # and the extracted text equals the pages table's text column (input_hint)
+    pages_text = {r.url: r.text for r in spark_run[0].pages.toLocalIterator()}
+    for u, t in pyref_run.extracted.items():
+        assert pages_text[u] == t
+
+
+def _meta_key(d):
+    return (d["asset_url"], d["ds_name"], d["round"])
+
+
+def test_metadata_rows_identical(spark_run, pyref_run):
+    eng, _ = spark_run
+    df = read_all_rounds(eng.spark, eng.io, "metadata")
+    # Go zero time (0001-01-01, kept for reference parity) predates what
+    # PySpark's row converter can hand to Python, so compare timestamps as
+    # RFC3339 strings computed JVM-side.
+    df = df.withColumn(
+        "timestamps",
+        F.transform(
+            "timestamps", lambda t: F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ),
+    )
+    got = sorted(
+        (
+            {
+                "asset_url": r["asset_url"],
+                "round": r["round"],
+                "pattern": r["pattern"],
+                "filename_fields": dict(r["filename_fields"]),
+                "file_type": r["file_type"],
+                "ds_name": r["ds_name"],
+                "raster_count": r["raster_count"],
+                "array_type": r["array_type"],
+                "x_size": r["x_size"],
+                "y_size": r["y_size"],
+                "proj_wkt": r["proj_wkt"],
+                "geotransform": list(r["geotransform"]),
+                "proj4": r["proj4"],
+                "polygon": r["polygon"],
+                "timestamps": list(r["timestamps"]),
+            }
+            for r in df.collect()
+        ),
+        key=_meta_key,
+    )
+    want = sorted(
+        (
+            # isoformat (not strftime) so year 1 pads to '0001'
+            {**m, "timestamps": [t.replace(tzinfo=None).isoformat() + "Z" for t in m["timestamps"]]}
+            for m in pyref_run.metadata
+        ),
+        key=_meta_key,
+    )
+    assert len(got) == len(want) > 10
+    for g, w in zip(got, want):
+        assert g == w, (g["asset_url"], g["ds_name"])
+
+
+def test_dead_letters_identical(spark_run, pyref_run):
+    eng, _ = spark_run
+    df = read_all_rounds(eng.spark, eng.io, "dead_letters")
+    got = sorted((r["asset_url"], r["round"]) for r in df.collect())
+    assert got == sorted(pyref_run.dead_letters)
+    assert len(got) > 0  # B4 dead-letter path exercised
+
+
+def test_bloom_mode_matches_exact(spark, fixtures, tmp_path_factory, pyref_run):
+    """Same crawl under the bloom codec — identical results at this scale
+    (and any FP would be deterministic in both implementations)."""
+    eng = _mk_engine(spark, fixtures, tmp_path_factory.mktemp("crawlb"), mode="bloom")
+    eng.run(max_rounds=50)
+    assert eng.crawl_order() == pyref_run.crawl_order
+    assert eng.seen_urls() == pyref_run.seen_urls()
+
+
+def test_kill_resume_identical(spark, fixtures, tmp_path_factory, spark_run, pyref_run):
+    """Kill after round 2, resume — identical final ordering (H4)."""
+    eng = _mk_engine(spark, fixtures, tmp_path_factory.mktemp("crawlr"))
+    eng.init_state()
+    eng.run_round(1)
+    eng.run_round(2)
+    # simulate a crash: some post-round-2 garbage exists but is uncommitted
+    eng.io.rollback_to(2)
+    # a brand-new engine resumes from the last committed snapshot
+    eng2 = _mk_engine(spark, fixtures, str(eng.io.base), )
+    eng2.run(max_rounds=50)
+    assert eng2.crawl_order() == pyref_run.crawl_order
+    assert eng2.seen_urls() == pyref_run.seen_urls()

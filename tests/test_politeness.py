@@ -1,0 +1,87 @@
+"""Politeness pop: budget invariant, determinism under repartition/salt,
+equality with the single-threaded twin; robots gate in both dialects."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from geocrawl_spark.politeness import (
+    pop_batch,
+    pop_batch_py,
+    robots_denied_expr,
+    robots_denied_py,
+)
+
+
+def _pending_pdf():
+    rows = []
+    # hot host with 200 pending, two small hosts
+    for i in range(200):
+        rows.append({"url": f"http://hot.org/p/{i:03d}.html", "host": "hot.org",
+                     "depth": i % 5, "priority": i % 5})
+    for i in range(10):
+        rows.append({"url": f"http://a.org/p/{i}.html", "host": "a.org",
+                     "depth": 1, "priority": 1})
+    rows.append({"url": "http://b.org/", "host": "b.org", "depth": 0, "priority": 0})
+    return pd.DataFrame(rows)
+
+
+BUDGETS = pd.DataFrame({"host": ["hot.org", "a.org"], "budget": [3, 2]})
+
+
+@pytest.mark.parametrize("salt", [1, 4, 16])
+@pytest.mark.parametrize("parts", [1, 7])
+def test_pop_matches_twin_and_budget(spark, salt, parts):
+    pending = spark.createDataFrame(_pending_pdf()).repartition(parts)
+    budgets = spark.createDataFrame(BUDGETS)
+    got = pop_batch(pending, budgets, salt=salt).collect()
+
+    per_host = {}
+    for r in got:
+        per_host.setdefault(r["host"], []).append(r["url"])
+    assert len(per_host["hot.org"]) == 3
+    assert len(per_host["a.org"]) == 2
+    assert len(per_host["b.org"]) == 1  # DEFAULT_BUDGET floor
+
+    expected = pop_batch_py(
+        _pending_pdf().to_dict("records"),
+        dict(zip(BUDGETS["host"], BUDGETS["budget"])),
+    )
+    assert sorted(r["url"] for r in got) == sorted(r["url"] for r in expected)
+
+
+def test_pop_orders_by_priority_then_url(spark):
+    pending = spark.createDataFrame(_pending_pdf())
+    budgets = spark.createDataFrame(BUDGETS)
+    got = sorted(
+        (r["url"] for r in pop_batch(pending, budgets).collect()
+         if r["host"] == "hot.org")
+    )
+    # priority = i%5; the 3 winners are priority-0 urls with smallest url
+    assert got == [
+        "http://hot.org/p/000.html",
+        "http://hot.org/p/005.html",
+        "http://hot.org/p/010.html",
+    ]
+
+
+def test_robots_both_dialects(spark):
+    cases = [
+        ("http://x.org/private/1.html", ["/private/"], True),
+        ("http://x.org/public/1.html", ["/private/"], False),
+        ("http://x.org/anything", ["/"], True),
+        ("http://x.org/a", [], False),
+        ("http://x.org/a", None, False),
+    ]
+    for url, dis, want in cases:
+        assert robots_denied_py(url, dis) is want
+    df = spark.createDataFrame(
+        [(u, d) for u, d, _ in cases], "url string, disallow array<string>"
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            robots_denied_expr(F.col("url"), F.col("disallow")).alias("d")
+        ).collect()
+    ]
+    assert got == [w for _, _, w in cases]

@@ -1,0 +1,76 @@
+"""Sharded seen-filter: Spark cogroup pass vs PySeenFilter twin; bloom
+no-false-negative and FPR-bound properties."""
+
+import pandas as pd
+import pytest
+
+from geocrawl_spark.seen import PySeenFilter, filter_and_update, init_shards
+
+
+def _urls(n, prefix="http://h.org/p/"):
+    return [f"{prefix}{i}.html" for i in range(n)]
+
+
+@pytest.mark.parametrize("mode", ["exact", "bloom"])
+def test_spark_matches_python(spark, mode):
+    n_shards, m_bits, k = 4, 1 << 16, 7
+    first = _urls(200)
+    second = _urls(300)  # overlaps first 200
+
+    py = PySeenFilter(mode, n_shards, m_bits, k)
+    py_fresh1 = py.add_all(first)
+    py_fresh2 = py.add_all(second)
+
+    shards = init_shards(spark, mode, n_shards, m_bits, k)
+    cand1 = spark.createDataFrame(
+        pd.DataFrame({"url": first, "depth": [1] * len(first)}),
+        "url string, depth long",
+    )
+    fresh1, shards1 = filter_and_update(cand1, shards, mode, n_shards, m_bits, k)
+    got1 = sorted(r["url"] for r in fresh1.collect())
+    assert got1 == sorted(py_fresh1)
+
+    # materialize shard state (as the engine does between passes)
+    shards1 = spark.createDataFrame(shards1.toPandas())
+    cand2 = spark.createDataFrame(
+        pd.DataFrame({"url": second, "depth": [2] * len(second)}),
+        "url string, depth long",
+    )
+    fresh2, shards2 = filter_and_update(cand2, shards1, mode, n_shards, m_bits, k)
+    got2 = sorted(r["url"] for r in fresh2.collect())
+    assert got2 == sorted(py_fresh2)
+    # only the 100 genuinely-new urls survive (bloom FPs would show here,
+    # deterministically, in both implementations)
+    assert set(got2) <= set(second) - set(first)
+
+    n_items = {r["shard_id"]: r["n_items"] for r in shards2.collect()}
+    assert sum(n_items.values()) == sum(py.n_items)
+
+
+def test_within_batch_dedup(spark):
+    shards = init_shards(spark, "exact", 2, 1 << 10, 3)
+    cand = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u1", "u2"], "depth": [5, 2, 1]}),
+        "url string, depth long",
+    )
+    fresh, _ = filter_and_update(cand, shards, "exact", 2, 1 << 10, 3)
+    got = {r["url"]: r["depth"] for r in fresh.collect()}
+    assert got == {"u1": 2, "u2": 1}  # min depth wins
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    py = PySeenFilter("bloom", n_shards=2, m_bits=1 << 18, k=7)
+    inserted = _urls(5000)
+    py.add_all(inserted)
+    assert all(py.contains(u) for u in inserted)  # no false negatives
+    probe = _urls(5000, prefix="http://other.org/q/")
+    fp = sum(py.contains(u) for u in probe)
+    assert fp / len(probe) < 0.01  # sized for ~2.6 bits... generous bound
+
+
+def test_monotone_property():
+    """Once seen, always seen (H2 monotonicity)."""
+    py = PySeenFilter("exact", 4, 1 << 10, 3)
+    urls = _urls(50)
+    py.add_all(urls)
+    assert py.add_all(urls) == []
