@@ -7,8 +7,8 @@ producer/scheduler/worker loop, geocrawl/geocrawler.go:43-53):
     -> pop_batch (per-host politeness top-k; ConcLimiter analog)
     -> fetch (join against the pages table; GDALOpenEx analog)
     -> extract text + links (vectorized UDFs; GetGDALMetadata analog)
-    -> explode + resolve + canonicalize candidates
-    -> seen-filter (sharded cogroup; the walk's visit-once guarantee)
+    -> explode + resolve + canonicalize candidates (pages + assets)
+    -> ONE seen-filter cogroup pass (the walk's visit-once guarantee)
     -> robots gate (the -re regex gate analog)
     -> admit new pending rows; extract geo-asset metadata; parse stage
     -> counters + snapshot commit (H4)
@@ -18,17 +18,25 @@ function of table state — per-host pop by (priority, url), fetch_seq by
 (priority, url) over the bounded per-round batch, admission dedup by
 (url -> min depth) — never of task scheduling.  The pyref oracle
 (pyref.py) implements the same contract single-threaded; golden tests
-assert exact equality of ordering, seen-set, counters, and extracted
-text bytes.
+assert exact equality of ordering, seen-set, counters, extracted text
+bytes, and metadata rows.
+
+Page and asset candidates go through a SINGLE admission pass (their URL
+classes are disjoint by construction — is_page vs is_asset predicates —
+so this is equivalent to the oracle's sequential admission and halves
+the cogroup work).
 
 Scale notes (100 TB design point):
 - the pages "fetch" join shuffles on url; on a real deployment the pages
-  Iceberg table would be bucketed by url so this is a storage-partitioned
+  Iceberg table is bucketed by url so this becomes a storage-partitioned
   join (no shuffle of the big side);
 - the frontier snapshot rewrite per round is an Iceberg MERGE in
   production (row-level); Parquet-rewrite here (same semantics);
 - the global fetch_seq window sorts only the per-round batch, which is
-  bounded by sum(host budgets), not by frontier size.
+  bounded by sum(host budgets), not by frontier size;
+- per-round driver-side actions are consolidated: one count on pending,
+  one combined fetch agg, one admission-stats agg read from the persisted
+  cogroup output, plus the snapshot writes.
 """
 
 from __future__ import annotations
@@ -85,36 +93,43 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _admit(self, cand: DataFrame, shards: DataFrame, round_no: int):
-        """Candidates (url, depth) -> (new frontier rows, shards', counts).
+        """Candidates (url, depth, kind) -> flagged fresh rows + shards'.
 
-        Single cogroup pass does within-batch dedup + seen-test + blob
-        update; robots are checked on the fresh survivors only.
+        One cogroup pass does within-batch dedup + seen-test + blob update
+        + per-kind stats; robots are checked on the fresh survivors only.
+        Returns (flagged, new_shards, seen_out, stats); ``flagged`` is
+        persisted — caller unpersists (and unpersists seen_out after the
+        shards snapshot is written).
         """
-        cand = cand.persist()
-        n_cand = cand.select("url").distinct().count()
-        fresh, new_shards = S.filter_and_update(
+        fresh, new_shards, seen_out = S.filter_and_update(
             cand, shards, self.mode, self.n_shards, self.m_bits, self.k
         )
-        fresh = fresh.withColumn("host", host_expr(F.col("url"))).persist()
-        flagged = fresh.join(F.broadcast(self.robots), "host", "left").withColumn(
-            "denied", pol.robots_denied_expr(F.col("url"), F.col("disallow"))
+        flagged = (
+            fresh.withColumn("host", host_expr(F.col("url")))
+            .join(F.broadcast(self.robots), "host", "left")
+            .withColumn(
+                "denied", pol.robots_denied_expr(F.col("url"), F.col("disallow"))
+            )
+            .select("url", "host", "depth", "kind", "denied")
+            .persist()
         )
-        rows = flagged.select(
+        flagged.count()  # materialize once (also executes the cogroup)
+        stats = S.admission_stats(seen_out)
+        return flagged, new_shards, seen_out, stats
+
+    def _frontier_rows(self, flagged: DataFrame, round_no: int) -> DataFrame:
+        return flagged.filter(F.col("kind") == "page").select(
             "url",
             "host",
             "depth",
             F.col("depth").alias("priority"),  # BFS priority = depth
-            F.lit(round_no).alias("discovered_round"),
+            F.lit(round_no).cast("long").alias("discovered_round"),
             F.when(F.col("denied"), F.lit("robots_denied"))
             .otherwise(F.lit("pending"))
             .alias("status"),
             F.lit(None).cast("long").alias("fetch_round"),
             F.lit(None).cast("long").alias("fetch_seq"),
         )
-        n_fresh = fresh.count()
-        counts = {"candidates": n_cand, "fresh": n_fresh, "deduped": n_cand - n_fresh}
-        cand.unpersist()
-        return rows, new_shards, counts
 
     # ------------------------------------------------------------------
     def init_state(self) -> dict:
@@ -123,19 +138,21 @@ class CrawlEngine:
         seeds = self.seeds.select(
             canonicalize_url_expr("url").alias("url"),
             F.lit(0).cast("long").alias("depth"),
+            F.lit("page").alias("kind"),
         )
-        rows, new_shards, c = self._admit(seeds, shards, 0)
-        rows = rows.persist()
+        flagged, new_shards, seen_out, stats = self._admit(seeds, shards, 0)
         counters = {k: 0 for k in COUNTER_KEYS}
-        counters["deduped"] = c["deduped"]
-        counters["robots_denied"] = rows.filter(F.col("status") == "robots_denied").count()
-        counters["discovered"] = c["fresh"] - counters["robots_denied"]
-        self.io.write_table(rows, "frontier", 0)
+        pstats = stats.get("page", {"deduped": 0, "fresh": 0})
+        counters["deduped"] = pstats["deduped"]
+        counters["robots_denied"] = flagged.filter(F.col("denied")).count()
+        counters["discovered"] = pstats["fresh"] - counters["robots_denied"]
+        self.io.write_table(self._frontier_rows(flagged, 0), "frontier", 0)
         self.io.write_table(new_shards, "seen_shards", 0)
-        self._write_admitted(rows.select("url", F.lit("page").alias("kind")), 0)
+        self.io.write_table(flagged.select("url", "kind"), "admitted", 0)
         self._write_counters(counters, 0)
         self.io.commit_round(0, ["frontier", "seen_shards", "admitted", "crawl_log"])
-        rows.unpersist()
+        flagged.unpersist()
+        seen_out.unpersist()
         return counters
 
     def _write_counters(self, counters: dict, round_no: int) -> None:
@@ -145,14 +162,10 @@ class CrawlEngine:
             self.spark.createDataFrame([row], schema), "crawl_log", round_no
         )
 
-    def _write_admitted(self, df: DataFrame, round_no: int) -> None:
-        self.io.write_table(df, "admitted", round_no)
-
     # ------------------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
-        spark = self.spark
-        frontier = self.io.read_table(spark, "frontier", round_no - 1)
-        shards = self.io.read_table(spark, "seen_shards", round_no - 1)
+        frontier = self.io.read_table(self.spark, "frontier", round_no - 1)
+        shards = self.io.read_table(self.spark, "seen_shards", round_no - 1)
         pending = frontier.filter(F.col("status") == "pending")
         n_pending = pending.count()
         counters = {k: 0 for k in COUNTER_KEYS}
@@ -163,17 +176,19 @@ class CrawlEngine:
         batch = pol.pop_batch(pending, self.hostbudget, self.salt)
         batch = batch.withColumn(
             "fetch_seq", F.row_number().over(Window.orderBy("priority", "url"))
-        ).persist()
-        n_batch = batch.count()
-        counters["deferred_politeness"] = n_pending - n_batch
+        )
 
         # --- fetch (join the pages table) -------------------------------
         fetched = batch.join(
             self.pages.select("url", "html", "warc_ts"), "url", "left"
         ).persist()
-        got = fetched.filter(F.col("html").isNotNull()).persist()
-        counters["fetched"] = got.count()
-        counters["missing"] = n_batch - counters["fetched"]
+        n_batch, n_fetched = fetched.agg(
+            F.count("*"), F.count("html")
+        ).collect()[0]
+        counters["deferred_politeness"] = n_pending - n_batch
+        counters["fetched"] = n_fetched
+        counters["missing"] = n_batch - n_fetched
+        got = fetched.filter(F.col("html").isNotNull())
 
         # --- extract text (byte-identity invariant) + provenance --------
         extracted = got.select(
@@ -185,55 +200,54 @@ class CrawlEngine:
         )
         self.io.write_table(extracted, "extracted", round_no)
 
-        # --- link fan-out ------------------------------------------------
+        # --- link fan-out: page + asset candidates in one pass ----------
         links = (
             got.select("url", "depth", F.explode(A.extract_links_udf("html")).alias("href"))
             .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
             .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
-            .persist()
         )
-        page_cand = links.filter(A.is_page_expr(F.col("canon"))).select(
-            F.col("canon").alias("url"), (F.col("depth") + 1).alias("depth")
-        )
-        asset_cand = links.filter(A.is_asset_expr(F.col("canon"))).select(
-            F.col("canon").alias("url"), (F.col("depth") + 1).alias("depth")
+        cand = (
+            links.withColumn(
+                "kind",
+                F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
+                    A.is_asset_expr(F.col("canon")), F.lit("asset")
+                ),
+            )
+            .filter(F.col("kind").isNotNull())
+            .select(
+                F.col("canon").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+                "kind",
+            )
         )
 
-        # --- admit new page URLs (seen filter + robots) ------------------
-        new_rows, shards1, c_pages = self._admit(page_cand, shards, round_no)
-        new_rows = new_rows.persist()
-        # materialize shards before reusing them for the asset pass
-        self.io.write_table(shards1, "_seen_tmp", round_no)
-        shards1 = self.io.read_table(spark, "_seen_tmp", round_no)
+        # --- single admission pass (seen filter + robots) ----------------
+        flagged, new_shards, seen_out, stats = self._admit(cand, shards, round_no)
+        p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
+        a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
+        denied_counts = {
+            r["kind"]: r["n"]
+            for r in flagged.filter(F.col("denied"))
+            .groupBy("kind")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        counters["deduped"] = p["deduped"] + a["deduped"]
+        counters["robots_denied"] = sum(denied_counts.values())
+        counters["discovered"] = p["fresh"] - denied_counts.get("page", 0)
 
-        # --- admit + extract asset URLs ----------------------------------
-        asset_rows, shards2, c_assets = self._admit(asset_cand, shards1, round_no)
-        asset_rows = asset_rows.persist()
-        self.io.write_table(shards2, "seen_shards", round_no)
-
-        counters["deduped"] = c_pages["deduped"] + c_assets["deduped"]
-        n_pages_denied = new_rows.filter(F.col("status") == "robots_denied").count()
-        n_assets_denied = asset_rows.filter(F.col("status") == "robots_denied").count()
-        counters["robots_denied"] = n_pages_denied + n_assets_denied
-        counters["discovered"] = c_pages["fresh"] - n_pages_denied
-
-        allowed_assets = asset_rows.filter(F.col("status") == "pending").select(
-            F.col("url").alias("asset_url")
-        )
-        meta, dead = self._extract_assets(allowed_assets, round_no)
+        # --- asset extraction + parse stage ------------------------------
+        allowed_assets = flagged.filter(
+            (F.col("kind") == "asset") & ~F.col("denied")
+        ).select(F.col("url").alias("asset_url"))
+        meta, dead, parsed = self._extract_assets(allowed_assets, round_no)
         self.io.write_table(meta, "metadata", round_no)
         self.io.write_table(dead, "dead_letters", round_no)
-        meta2 = self.io.read_table(spark, "metadata", round_no)
-        dead2 = self.io.read_table(spark, "dead_letters", round_no)
-        counters["assets_extracted"] = meta2.select("asset_url").distinct().count()
-        counters["dead_letters"] = dead2.count()
+        counters["assets_extracted"] = meta.select("asset_url").distinct().count()
+        counters["dead_letters"] = dead.count()
 
-        self._write_admitted(
-            new_rows.select("url", F.lit("page").alias("kind")).unionByName(
-                asset_rows.select("url", F.lit("asset").alias("kind"))
-            ),
-            round_no,
-        )
+        self.io.write_table(flagged.select("url", "kind"), "admitted", round_no)
+        self.io.write_table(new_shards, "seen_shards", round_no)
 
         # --- frontier update (snapshot rewrite; Iceberg MERGE in prod) ---
         batch_done = fetched.select(
@@ -241,16 +255,14 @@ class CrawlEngine:
             F.when(F.col("html").isNotNull(), F.lit("fetched"))
             .otherwise(F.lit("missing"))
             .alias("status"),
-            F.lit(round_no).alias("fetch_round"),
+            F.lit(round_no).cast("long").alias("fetch_round"),
             "fetch_seq",
         )
         new_frontier = (
-            frontier.join(batch.select("url"), "url", "left_anti")
+            frontier.join(batch_done.select("url"), "url", "left_anti")
             .unionByName(batch_done)
-            .unionByName(new_rows)
+            .unionByName(self._frontier_rows(flagged, round_no))
         )
-        # asset URLs live in the seen-set + admitted ledger, not the page
-        # frontier (they are extraction targets, not crawlable pages)
         self.io.write_table(new_frontier, "frontier", round_no)
         self._write_counters(counters, round_no)
         self.io.commit_round(
@@ -258,7 +270,7 @@ class CrawlEngine:
             ["frontier", "seen_shards", "admitted", "crawl_log", "extracted",
              "metadata", "dead_letters"],
         )
-        for df in (batch, fetched, got, links, new_rows, asset_rows):
+        for df in (fetched, flagged, seen_out, parsed):
             df.unpersist()
         return {"done": False, **counters}
 
@@ -299,7 +311,7 @@ class CrawlEngine:
             .otherwise(F.array(F.col("parse.ts")))
             .alias("timestamps"),
         )
-        return meta, dead
+        return meta, dead, parsed
 
     # ------------------------------------------------------------------
     def run(self, max_rounds: int = 100, start_round: int | None = None) -> list[dict]:

@@ -82,19 +82,38 @@ def pop_batch(
     pending: DataFrame,
     hostbudget: DataFrame,
     salt: int = DEFAULT_SALT,
+    method: str = "window",
 ) -> DataFrame:
     """Deterministic per-host top-``budget`` fetch batch.
 
     ``pending`` needs (url, host, priority, ...); ``hostbudget`` is
     (host, budget) and is broadcast (small dim — one row per host).
     Returns pending's columns + ``budget``.
+
+    Phase-1 ``method``:
+    - ``window`` (default): JVM row_number over (host, salt) partitions —
+      whole-stage codegen, no Python crossing; Spark sorts each salted
+      partition (skew already defused by the salt).
+    - ``heap``: heapq.nsmallest(budget) inside applyInPandas per
+      (host, salt) group — O(n log k) memory-bounded pop per slice, the
+      north_star formulation; preferable when a single host's pending set
+      is so large that sorting it (even salted) would spill.
+    Both produce the EXACT same batch (tests/test_politeness.py).
     """
     df = pending.join(F.broadcast(hostbudget), "host", "left").withColumn(
         "budget", F.coalesce(F.col("budget"), F.lit(DEFAULT_BUDGET))
     )
     df = df.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(salt)))
-    schema = df.drop("salt").schema
-    phase1 = df.groupBy("host", "salt").applyInPandas(_heap_topk, schema)
+    if method == "heap":
+        schema = df.drop("salt").schema
+        phase1 = df.groupBy("host", "salt").applyInPandas(_heap_topk, schema)
+    else:
+        w1 = Window.partitionBy("host", "salt").orderBy("priority", "url")
+        phase1 = (
+            df.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= F.col("budget"))
+            .drop("_rk1", "salt")
+        )
     w = Window.partitionBy("host").orderBy("priority", "url")
     return (
         phase1.withColumn("_rk", F.row_number().over(w))

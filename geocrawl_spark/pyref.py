@@ -63,42 +63,52 @@ class PyRefCrawl:
         self.counters_log: list[dict] = []
 
     # ------------------------------------------------------------------
-    def _admit(self, cands: dict[str, int], round_no: int, kind: str):
+    def _admit(self, cands: dict[str, tuple[int, str]], round_no: int):
+        """Single-batch admission over page+asset candidates together:
+        test-all-then-insert (matches the Spark cogroup's per-shard
+        semantics exactly, including any deterministic bloom FPs).
+
+        ``cands`` maps url -> (depth, kind).  Returns (rows, deduped,
+        denied_by_kind) where rows carry the kind.
+        """
         n_cand = len(cands)
-        fresh = [u for u in sorted(cands) if self.seen.add(u)]
+        fresh = self.seen.add_batch(sorted(cands))
         rows = []
-        denied = 0
+        denied_by_kind = {"page": 0, "asset": 0}
         for u in fresh:
+            depth, kind = cands[u]
             host = host_of(u)
             is_denied = robots_denied_py(u, self.robots.get(host))
-            denied += is_denied
+            denied_by_kind[kind] += is_denied
             rows.append(
                 {
                     "url": u,
                     "host": host,
-                    "depth": cands[u],
-                    "priority": cands[u],
+                    "depth": depth,
+                    "priority": depth,
                     "discovered_round": round_no,
                     "status": "robots_denied" if is_denied else "pending",
                     "fetch_round": None,
                     "fetch_seq": None,
+                    "kind": kind,
                 }
             )
             self.admitted.append((u, kind))
-        return rows, n_cand - len(fresh), denied
+        return rows, n_cand - len(fresh), denied_by_kind
 
     # ------------------------------------------------------------------
     def init_state(self) -> dict:
-        cands: dict[str, int] = {}
+        cands: dict[str, tuple[int, str]] = {}
         for s in self.seeds:
-            cands.setdefault(canonicalize_url(s.url), 0)
-        rows, deduped, denied = self._admit(cands, 0, "page")
+            cands.setdefault(canonicalize_url(s.url), (0, "page"))
+        rows, deduped, denied = self._admit(cands, 0)
         for r in rows:
             self.frontier[r["url"]] = r
         counters = {
             "round": 0, "fetched": 0, "missing": 0, "deferred_politeness": 0,
-            "deduped": deduped, "robots_denied": denied,
-            "discovered": len(rows) - denied, "assets_extracted": 0, "dead_letters": 0,
+            "deduped": deduped, "robots_denied": denied["page"],
+            "discovered": len(rows) - denied["page"],
+            "assets_extracted": 0, "dead_letters": 0,
         }
         self.counters_log.append(counters)
         return counters
@@ -118,8 +128,7 @@ class PyRefCrawl:
         )}
         counters["deferred_politeness"] = len(pending) - len(batch)
 
-        page_cands: dict[str, int] = {}
-        asset_cands: dict[str, int] = {}
+        cands: dict[str, tuple[int, str]] = {}
         for seq, row in enumerate(batch, start=1):
             row["fetch_round"] = round_no
             row["fetch_seq"] = seq
@@ -137,22 +146,25 @@ class PyRefCrawl:
                 canon = canonicalize_url(resolve_href_py(row["url"], href))
                 d = row["depth"] + 1
                 if is_page_py(canon):
-                    if canon not in page_cands or d < page_cands[canon]:
-                        page_cands[canon] = d
+                    kind = "page"
                 elif is_asset_py(canon):
-                    if canon not in asset_cands or d < asset_cands[canon]:
-                        asset_cands[canon] = d
+                    kind = "asset"
+                else:
+                    continue
+                if canon not in cands or d < cands[canon][0]:
+                    cands[canon] = (d, kind)
 
-        new_rows, dd_p, den_p = self._admit(page_cands, round_no, "page")
-        asset_rows, dd_a, den_a = self._admit(asset_cands, round_no, "asset")
-        counters["deduped"] = dd_p + dd_a
-        counters["robots_denied"] = den_p + den_a
-        counters["discovered"] = len(new_rows) - den_p
-        for r in new_rows:
-            self.frontier[r["url"]] = r
+        rows, deduped, denied = self._admit(cands, round_no)
+        counters["deduped"] = deduped
+        counters["robots_denied"] = denied["page"] + denied["asset"]
+        n_fresh_pages = sum(1 for r in rows if r["kind"] == "page")
+        counters["discovered"] = n_fresh_pages - denied["page"]
+        for r in rows:
+            if r["kind"] == "page":
+                self.frontier[r["url"]] = {k: v for k, v in r.items() if k != "kind"}
 
-        for r in asset_rows:
-            if r["status"] != "pending":
+        for r in rows:
+            if r["kind"] != "asset" or r["status"] != "pending":
                 continue
             url = r["url"]
             pattern, fields, ts = parse_name_py(url)

@@ -65,7 +65,13 @@ def _decode(blob: bytes):
 def _contains(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     mode, data, m_bits, k = _decode(blob)
     if mode == "exact":
-        return np.isin(h1, data)
+        # blob is kept sorted -> binary search beats np.isin's hashing
+        if len(data) == 0:
+            return np.zeros(len(h1), dtype=bool)
+        idx = np.searchsorted(data, h1)
+        # idx == len(data) means h1 > max(data), so it cannot match data[0]
+        idx[idx == len(data)] = 0
+        return data[idx] == h1
     seen = np.ones(len(h1), dtype=bool)
     for i in range(k):
         idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
@@ -76,7 +82,7 @@ def _contains(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 def _insert(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> bytes:
     mode, data, m_bits, k = _decode(blob)
     if mode == "exact":
-        merged = np.union1d(data, h1.astype(np.uint64))
+        merged = np.sort(np.concatenate([data, h1.astype(np.uint64)]))
         return EXACT_MAGIC + merged.tobytes()
     bits = data.copy()
     for i in range(k):
@@ -111,7 +117,8 @@ def init_shards(spark, mode: str, n_shards: int, m_bits: int, k: int) -> DataFra
 
 
 _OUT_SCHEMA = (
-    "shard_id long, kind string, url string, depth long, blob binary, n_items long"
+    "shard_id long, row_kind string, url string, depth long, kind string, "
+    "blob binary, n_items long, n_cand long, n_fresh long"
 )
 
 
@@ -120,10 +127,14 @@ def _make_cogroup_fn(mode: str, m_bits: int, k: int):
         shard_id = int(key[0])
         blob = shard["blob"].iloc[0] if len(shard) else empty_blob(mode, m_bits, k)
         n_items = int(shard["n_items"].iloc[0]) if len(shard) else 0
+        parts = []
         if len(cand):
-            # dedupe within batch deterministically (min depth, then url)
-            cand = (
-                cand.sort_values(["url", "depth"]).groupby("url", as_index=False).first()
+            # dedupe within batch deterministically: sort by (h1, depth) and
+            # keep the first per h1 — integer sort is far cheaper than a
+            # string sort, and equals url-dedup-by-min-depth (64-bit hash
+            # collisions are ~2^-64 per pair and deterministic anyway)
+            cand = cand.sort_values(["h1", "depth"], kind="stable").drop_duplicates(
+                "h1", keep="first"
             )
             h1 = cand["h1"].to_numpy(dtype=np.int64).view(np.uint64)
             h2 = cand["h2"].to_numpy(dtype=np.int64).view(np.uint64)
@@ -134,29 +145,59 @@ def _make_cogroup_fn(mode: str, m_bits: int, k: int):
                 f2 = fresh["h2"].to_numpy(dtype=np.int64).view(np.uint64)
                 blob = _insert(blob, f1, f2)
                 n_items += len(fresh)
-        else:
-            fresh = cand
-        out_urls = pd.DataFrame(
-            {
-                "shard_id": shard_id,
-                "kind": "url",
-                "url": fresh["url"] if len(cand) else pd.Series([], dtype=object),
-                "depth": fresh["depth"] if len(cand) else pd.Series([], dtype="int64"),
-                "blob": None,
-                "n_items": 0,
-            }
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "shard_id": shard_id,
+                        "row_kind": "url",
+                        "url": fresh["url"],
+                        "depth": fresh["depth"],
+                        "kind": fresh["kind"],
+                        "blob": None,
+                        "n_items": 0,
+                        "n_cand": 0,
+                        "n_fresh": 0,
+                    }
+                )
+            )
+            # per-kind admission stats (saves the caller a distinct-count job)
+            stats = (
+                cand.assign(_f=~seen)
+                .groupby("kind")
+                .agg(n_cand=("url", "size"), n_fresh=("_f", "sum"))
+                .reset_index()
+            )
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "shard_id": shard_id,
+                        "row_kind": "stat",
+                        "url": None,
+                        "depth": 0,
+                        "kind": stats["kind"],
+                        "blob": None,
+                        "n_items": 0,
+                        "n_cand": stats["n_cand"].astype("int64"),
+                        "n_fresh": stats["n_fresh"].astype("int64"),
+                    }
+                )
+            )
+        parts.append(
+            pd.DataFrame(
+                {
+                    "shard_id": [shard_id],
+                    "row_kind": ["blob"],
+                    "url": [None],
+                    "depth": [0],
+                    "kind": [None],
+                    "blob": [blob],
+                    "n_items": [n_items],
+                    "n_cand": [0],
+                    "n_fresh": [0],
+                }
+            )
         )
-        out_blob = pd.DataFrame(
-            {
-                "shard_id": [shard_id],
-                "kind": ["blob"],
-                "url": [None],
-                "depth": [0],
-                "blob": [blob],
-                "n_items": [n_items],
-            }
-        )
-        return pd.concat([out_urls, out_blob], ignore_index=True)
+        return pd.concat(parts, ignore_index=True)
 
     return fn
 
@@ -168,22 +209,46 @@ def filter_and_update(
     n_shards: int = 8,
     m_bits: int = 1 << 23,
     k: int = 7,
-) -> tuple[DataFrame, DataFrame]:
-    """(fresh_candidates(url, depth), updated_shards) in ONE shuffle.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(fresh_candidates(url, depth, kind), updated_shards, persisted_parent)
+    in ONE shuffle + ONE execution.
 
-    ``candidates`` needs columns (url, depth).  Both outputs derive from a
-    single cogroup pass; the caller should cache/materialize the union
-    before splitting (the round loop persists both to the checkpoint).
+    ``candidates`` needs columns (url, depth) and optionally ``kind`` (a
+    candidate-class passthrough, defaulted to 'page').  The cogroup output
+    is persisted so the fresh/blob split does not recompute the filter;
+    the caller unpersists the returned parent when done.
     """
-    cand = with_hash_cols(candidates.select("url", "depth"), "url", n_shards)
+    if "kind" not in candidates.columns:
+        candidates = candidates.withColumn("kind", F.lit("page"))
+    cand = with_hash_cols(candidates.select("url", "depth", "kind"), "url", n_shards)
     out = (
         cand.groupBy("shard_id")
         .cogroup(shards.groupBy("shard_id"))
         .applyInPandas(_make_cogroup_fn(mode, m_bits, k), _OUT_SCHEMA)
+    ).persist()
+    fresh = out.filter(F.col("row_kind") == "url").select("url", "depth", "kind")
+    new_shards = out.filter(F.col("row_kind") == "blob").select(
+        "shard_id", "blob", "n_items"
     )
-    fresh = out.filter(F.col("kind") == "url").select("url", "depth")
-    new_shards = out.filter(F.col("kind") == "blob").select("shard_id", "blob", "n_items")
-    return fresh, new_shards
+    return fresh, new_shards, out
+
+
+def admission_stats(out: DataFrame) -> dict[str, dict[str, int]]:
+    """{kind: {candidates, fresh, deduped}} from the persisted cogroup output."""
+    rows = (
+        out.filter(F.col("row_kind") == "stat")
+        .groupBy("kind")
+        .agg(F.sum("n_cand").alias("c"), F.sum("n_fresh").alias("f"))
+        .collect()
+    )
+    return {
+        r["kind"]: {
+            "candidates": int(r["c"]),
+            "fresh": int(r["f"]),
+            "deduped": int(r["c"] - r["f"]),
+        }
+        for r in rows
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -216,3 +281,22 @@ class PySeenFilter:
 
     def add_all(self, urls: Iterable[str]) -> list[str]:
         return [u for u in urls if self.add(u)]
+
+    def add_batch(self, urls: Iterable[str]) -> list[str]:
+        """Batch semantics identical to the Spark cogroup pass: per shard,
+        test ALL candidates against the pre-batch blob, then insert the
+        fresh ones — so bloom behavior matches Spark bit-for-bit."""
+        by_shard: dict[int, list[str]] = {}
+        for u in urls:
+            by_shard.setdefault(url_hash(u) % self.n_shards, []).append(u)
+        fresh_all = []
+        for s, us in by_shard.items():
+            h1 = np.array([url_hash(u) for u in us], dtype=np.int64).view(np.uint64)
+            h2 = np.array([url_hash2(u) for u in us], dtype=np.int64).view(np.uint64)
+            seen = _contains(self.blobs[s], h1, h2)
+            fresh_idx = [i for i in range(len(us)) if not seen[i]]
+            if fresh_idx:
+                self.blobs[s] = _insert(self.blobs[s], h1[fresh_idx], h2[fresh_idx])
+                self.n_items[s] += len(fresh_idx)
+                fresh_all.extend(us[i] for i in fresh_idx)
+        return sorted(fresh_all)

@@ -31,10 +31,11 @@ BUDGETS = pd.DataFrame({"host": ["hot.org", "a.org"], "budget": [3, 2]})
 
 @pytest.mark.parametrize("salt", [1, 4, 16])
 @pytest.mark.parametrize("parts", [1, 7])
-def test_pop_matches_twin_and_budget(spark, salt, parts):
+@pytest.mark.parametrize("method", ["window", "heap"])
+def test_pop_matches_twin_and_budget(spark, salt, parts, method):
     pending = spark.createDataFrame(_pending_pdf()).repartition(parts)
     budgets = spark.createDataFrame(BUDGETS)
-    got = pop_batch(pending, budgets, salt=salt).collect()
+    got = pop_batch(pending, budgets, salt=salt, method=method).collect()
 
     per_host = {}
     for r in got:

@@ -26,7 +26,7 @@ def test_spark_matches_python(spark, mode):
         pd.DataFrame({"url": first, "depth": [1] * len(first)}),
         "url string, depth long",
     )
-    fresh1, shards1 = filter_and_update(cand1, shards, mode, n_shards, m_bits, k)
+    fresh1, shards1, _ = filter_and_update(cand1, shards, mode, n_shards, m_bits, k)
     got1 = sorted(r["url"] for r in fresh1.collect())
     assert got1 == sorted(py_fresh1)
 
@@ -36,7 +36,7 @@ def test_spark_matches_python(spark, mode):
         pd.DataFrame({"url": second, "depth": [2] * len(second)}),
         "url string, depth long",
     )
-    fresh2, shards2 = filter_and_update(cand2, shards1, mode, n_shards, m_bits, k)
+    fresh2, shards2, _ = filter_and_update(cand2, shards1, mode, n_shards, m_bits, k)
     got2 = sorted(r["url"] for r in fresh2.collect())
     assert got2 == sorted(py_fresh2)
     # only the 100 genuinely-new urls survive (bloom FPs would show here,
@@ -53,7 +53,7 @@ def test_within_batch_dedup(spark):
         pd.DataFrame({"url": ["u1", "u1", "u2"], "depth": [5, 2, 1]}),
         "url string, depth long",
     )
-    fresh, _ = filter_and_update(cand, shards, "exact", 2, 1 << 10, 3)
+    fresh, _, _ = filter_and_update(cand, shards, "exact", 2, 1 << 10, 3)
     got = {r["url"]: r["depth"] for r in fresh.collect()}
     assert got == {"u1": 2, "u2": 1}  # min depth wins
 
