@@ -554,3 +554,66 @@ def date_trunc_daily(spark, sf_dir):
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C5: spatial containment + time-range (the reference's Mongo queries,
+# ancillary/mongoqueries.txt:1,3 — here as pure column arithmetic)
+# ---------------------------------------------------------------------------
+
+_QUAD = [(0.0, 0.0), (50.0, 5.0), (45.0, 40.0), (-5.0, 35.0)]
+
+
+def _quad_sql(x: str, y: str) -> str:
+    pos, neg = [], []
+    n = len(_QUAD)
+    for i in range(n):
+        (x1, y1), (x2, y2) = _QUAD[i], _QUAD[(i + 1) % n]
+        c = f"(({x2} - {x1}) * ({y} - {y1}) - ({y2} - {y1}) * ({x} - {x1}))"
+        pos.append(f"{c} >= 0")
+        neg.append(f"{c} <= 0")
+    return f"(({' and '.join(pos)}) or ({' and '.join(neg)}))"
+
+
+@_q(
+    "spatial_within_quad",
+    f"""
+    select l_orderkey, l_linenumber,
+           {_quad_sql("((l_partkey % 3600) * 0.1 - 180)", "((l_suppkey % 1700) * 0.1 - 85)")} as within
+    from lineitem
+    """,
+)
+def spatial_within_quad(spark, sf_dir):
+    from .catalog import point_in_convex_polygon
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 3600).cast("double") * 0.1 - 180
+    y = (F.col("l_suppkey") % 1700).cast("double") * 0.1 - 85
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        point_in_convex_polygon(x, y, _QUAD).alias("within"),
+    )
+
+
+@_q(
+    "timerange_exists",
+    """
+    select user_id,
+           len(list_filter(list(ts order by ts),
+               t -> t >= timestamp '2024-02-01 00:00:00'
+                and t <  timestamp '2024-03-01 00:00:00')) > 0 as has_event
+    from events group by user_id
+    """,
+)
+def timerange_exists(spark, sf_dir):
+    from .catalog import timestamps_in_range_expr
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        timestamps_in_range_expr(
+            F.array_sort(F.collect_list("ts")),
+            "2024-02-01 00:00:00",
+            "2024-03-01 00:00:00",
+        ).alias("has_event")
+    )

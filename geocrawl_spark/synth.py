@@ -85,7 +85,8 @@ def _asset_basename(seed: int, key: int) -> str:
     if kind == 2:
         return f"MCD15A2.A{year}{jd:03d}.h{h % 36:02d}v{h % 18:02d}.006.{2016009123456 + h % 1000}.nc"
     if kind == 3:
-        return f"MOD09_GA.A{year}{jd:03d}.1200.005.{year}{jd:03d}{h % 24:02d}{h % 60:02d}{h % 60:02d}.tif"
+        # satellite char 'Y': the reference's [OD|YD] is a single-char class
+        return f"MY09_GA.A{year}{jd:03d}.1200.005.{year}{jd:03d}{h % 24:02d}{h % 60:02d}{h % 60:02d}.tif"
     if kind == 4:
         return f"FC.v302.MCD43A4.h{h % 36:02d}v{h % 18:02d}.{year}.005.nc"
     if kind == 5:

@@ -37,14 +37,18 @@ CASES = [
         {"product": "MCD15A2"},
         dt.datetime(2016, 1, 9, tzinfo=UTC),
     ),
+    # NOTE: the reference's [OD|YD] is a single-char class {O,D,|,Y} (a Go
+    # pattern bug we reproduce): 'MOD09_GA...' can never match because the
+    # satellite eats one char and product needs digits; 'MY09_GA...' does.
     (
-        "MOD09_GA.A2016009.1200.005.2016009121130.tif",
+        "MY09_GA.A2016009.1200.005.2016009121130.tif",
         "modis2",
-        {"satellite": "O", "product": "09_GA", "collection_version": "005",
+        {"satellite": "Y", "product": "09_GA", "collection_version": "005",
          "year": "2016", "julian_day": "009", "hour": "12", "minute": "11",
          "second": "30"},
         dt.datetime(2016, 1, 9, 12, 11, 30, tzinfo=UTC),
     ),
+    ("MOD09_GA.A2016009.1200.005.2016009121130.tif", None, None, None),
     (
         "FC.v302.MCD43A4.h12v10.2016.005.nc",
         "modisJP",
@@ -122,16 +126,23 @@ def test_python_dialect(name, pattern, fields, ts):
 def test_spark_dialect_matches_python(spark):
     urls = ["http://h/assets/" + n for n, *_ in CASES]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
-    rows = df.select("url", parse_name_expr(F.col("url")).alias("p")).collect()
+    # ts compared as a formatted string: the Go zero time (year 1) is not
+    # representable through PySpark's collect() row converter
+    p = parse_name_expr(F.col("url"))
+    rows = df.select(
+        "url",
+        p["pattern"].alias("pattern"),
+        p["fields"].alias("fields"),
+        F.date_format(p["ts"], "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_str"),
+    ).collect()
     for r in rows:
         pat, fields, ts = parse_name_py(r["url"])
-        assert r["p"]["pattern"] == pat, r["url"]
+        assert r["pattern"] == pat, r["url"]
         if pat is None:
-            assert r["p"]["fields"] is None
+            assert r["fields"] is None
             continue
-        assert dict(r["p"]["fields"]) == fields, r["url"]
-        got_ts = r["p"]["ts"].replace(tzinfo=UTC)
-        assert got_ts == ts, r["url"]
+        assert dict(r["fields"]) == fields, r["url"]
+        assert r["ts_str"] == ts.replace(tzinfo=None).isoformat() + "Z", r["url"]
 
 
 def test_julian_override_precedence():
