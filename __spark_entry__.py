@@ -13,12 +13,18 @@ tests/test_crawl_golden.py per the north_rule.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geocrawl_spark import queries_core, queries_ml  # noqa: F401 (registration)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # robust under importlib-from-path loading
+    sys.path.insert(0, _REPO)
+
+from geocrawl_spark import queries_core, queries_ml  # noqa: F401,E402 (registration)
 from geocrawl_spark.gdalmeta import extract_gdal_metadata
 from geocrawl_spark.geometry import polygon_wkt_expr
 from geocrawl_spark.parsers import parse_name_expr

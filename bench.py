@@ -52,7 +52,7 @@ def frontier_round(spark, n: int | None = None, warmup: bool = True) -> tuple[fl
         frontier_round(spark, max(n // 8, 10_000), warmup=False)
         # best-of-N measured passes (the sandbox host has noisy neighbors;
         # min wall time is the least-contended estimate of true throughput)
-        repeats = int(os.environ.get("BENCH_REPEAT", "1"))
+        repeats = int(os.environ.get("BENCH_REPEAT", "3"))
         if repeats > 1:
             results = [frontier_round(spark, n, warmup=False) for _ in range(repeats)]
             return min(results, key=lambda r: r[0])
