@@ -249,6 +249,25 @@ class CrawlEngine:
         self.io.write_table(flagged.select("url", "kind"), "admitted", round_no)
         self.io.write_table(new_shards, "seen_shards", round_no)
 
+        # --- per-host lineage (north_rule: per-partition lineage+metrics;
+        # the salted host partition is the politeness/parallelism unit) ---
+        pend_h = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
+        done_h = fetched.groupBy("host").agg(
+            F.count("*").alias("n_batch"), F.count("html").alias("n_fetched")
+        )
+        host_log = pend_h.join(done_h, "host", "left").select(
+            F.lit(round_no).cast("long").alias("round"),
+            "host",
+            F.coalesce("n_fetched", F.lit(0)).cast("long").alias("fetched"),
+            (F.coalesce("n_batch", F.lit(0)) - F.coalesce("n_fetched", F.lit(0)))
+            .cast("long")
+            .alias("missing"),
+            (F.col("n_pending") - F.coalesce("n_batch", F.lit(0)))
+            .cast("long")
+            .alias("deferred_politeness"),
+        )
+        self.io.write_table(host_log, "host_log", round_no)
+
         # --- frontier update (snapshot rewrite; Iceberg MERGE in prod) ---
         batch_done = fetched.select(
             "url", "host", "depth", "priority", "discovered_round",
@@ -268,7 +287,7 @@ class CrawlEngine:
         self.io.commit_round(
             round_no,
             ["frontier", "seen_shards", "admitted", "crawl_log", "extracted",
-             "metadata", "dead_letters"],
+             "metadata", "dead_letters", "host_log"],
         )
         for df in (fetched, flagged, seen_out, parsed):
             df.unpersist()

@@ -61,6 +61,7 @@ class PyRefCrawl:
         self.metadata: list[dict] = []
         self.dead_letters: list[tuple[str, int]] = []
         self.counters_log: list[dict] = []
+        self.host_log: list[dict] = []  # per-(round, host) lineage
 
     # ------------------------------------------------------------------
     def _admit(self, cands: dict[str, tuple[int, str]], round_no: int):
@@ -128,17 +129,27 @@ class PyRefCrawl:
         )}
         counters["deferred_politeness"] = len(pending) - len(batch)
 
+        per_host: dict[str, dict] = {}
+        for r in pending:
+            h = per_host.setdefault(
+                r["host"], {"n_pending": 0, "fetched": 0, "missing": 0}
+            )
+            h["n_pending"] += 1
+
         cands: dict[str, tuple[int, str]] = {}
         for seq, row in enumerate(batch, start=1):
+            ph = per_host[row["host"]]
             row["fetch_round"] = round_no
             row["fetch_seq"] = seq
             page = self.pages.get(row["url"])
             if page is None:
                 row["status"] = "missing"
                 counters["missing"] += 1
+                ph["missing"] += 1
                 continue
             row["status"] = "fetched"
             counters["fetched"] += 1
+            ph["fetched"] += 1
             self.crawl_order.append((round_no, seq, row["url"]))
             html = page.html if isinstance(page.html, bytes) else bytes(page.html)
             self.extracted[row["url"]] = extract_text_py(html)
@@ -203,6 +214,16 @@ class PyRefCrawl:
                 )
             counters["assets_extracted"] += emitted
 
+        for host, h in sorted(per_host.items()):
+            self.host_log.append(
+                {
+                    "round": round_no,
+                    "host": host,
+                    "fetched": h["fetched"],
+                    "missing": h["missing"],
+                    "deferred_politeness": h["n_pending"] - h["fetched"] - h["missing"],
+                }
+            )
         self.counters_log.append({"round": round_no, **counters})
         return counters
 

@@ -500,3 +500,32 @@ def multimodal_binary_meta(spark, sf_dir):
         F.length(blob).cast("long").alias("n_bytes"),
         F.lower(F.substring(F.hex(blob), 1, 8)).alias("magic_hex"),
     )
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    n as (select vec_id, e, sqrt(list_dot_product(e, e)) as nrm from v)
+    select a.vec_id as vec_a, b.vec_id as vec_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 3) as cos
+    from n a join n b on a.vec_id < b.vec_id
+    where list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: all pairs above a similarity threshold
+    (the correctness baseline; at 100 TB the LSH/IVF bucketing above
+    replaces the all-pairs join)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 3).alias("cos"))
+    )

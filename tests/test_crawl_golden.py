@@ -97,6 +97,20 @@ def test_counters_identical(spark_run, pyref_run):
     assert sum(c["deduped"] for c in pyref_run.counters_log) > 0
 
 
+def test_host_lineage_identical(spark_run, pyref_run):
+    eng, _ = spark_run
+    df = read_all_rounds(eng.spark, eng.io, "host_log")
+    got = sorted(
+        (r["round"], r["host"], r["fetched"], r["missing"], r["deferred_politeness"])
+        for r in df.collect()
+    )
+    want = sorted(
+        (h["round"], h["host"], h["fetched"], h["missing"], h["deferred_politeness"])
+        for h in pyref_run.host_log
+    )
+    assert got == want and len(got) > 0
+
+
 def test_extracted_text_byte_identical(spark_run, pyref_run):
     eng, _ = spark_run
     df = read_all_rounds(eng.spark, eng.io, "extracted")
