@@ -40,8 +40,14 @@ N_HOSTS = 1000
 N_SHARDS = 128
 
 
-def frontier_round(spark, n: int | None = None, warmup: bool = True) -> tuple[float, int]:
+def frontier_round(
+    spark, n: int | None = None, warmup: bool = True, strategy: str = "bloom"
+) -> tuple[float, int]:
     """One politeness-gated frontier round over ``n`` URLs.
+
+    ``strategy``: 'bloom' (sharded-blob cogroup — the 10^10-scale path) or
+    'anti' (pure-JVM hash anti-join — zero Python crossings; see
+    seen.filter_and_update_anti for the trade-off).
 
     Runs a 1/8-scale warmup first (codegen + python-worker spin-up) so the
     measured pass reflects steady-state throughput.
@@ -49,12 +55,15 @@ def frontier_round(spark, n: int | None = None, warmup: bool = True) -> tuple[fl
     if n is None:
         n = N_FRONTIER
     if warmup:
-        frontier_round(spark, max(n // 8, 10_000), warmup=False)
+        frontier_round(spark, max(n // 8, 10_000), warmup=False, strategy=strategy)
         # best-of-N measured passes (the sandbox host has noisy neighbors;
         # min wall time is the least-contended estimate of true throughput)
         repeats = int(os.environ.get("BENCH_REPEAT", "3"))
         if repeats > 1:
-            results = [frontier_round(spark, n, warmup=False) for _ in range(repeats)]
+            results = [
+                frontier_round(spark, n, warmup=False, strategy=strategy)
+                for _ in range(repeats)
+            ]
             return min(results, key=lambda r: r[0])
     # JVM-side synthetic frontier (mixed-case + port variants exercise canon)
     raw = F.format_string(
@@ -87,10 +96,17 @@ def frontier_round(spark, n: int | None = None, warmup: bool = True) -> tuple[fl
         .alias("disallow"),
     )
 
+    seen_hashes = spark.range(0).select(F.xxhash64(F.col("id").cast("string")).alias("h1"))
+
     t0 = time.time()
-    fresh, new_shards, _ = S.filter_and_update(
-        frontier.select("url", "depth"), shards, "bloom", N_SHARDS, 1 << 24, 7
-    )
+    if strategy == "anti":
+        fresh, new_seen, _stats = S.filter_and_update_anti(
+            frontier.select("url", "depth"), seen_hashes
+        )
+    else:
+        fresh, new_shards, _ = S.filter_and_update(
+            frontier.select("url", "depth"), shards, "bloom", N_SHARDS, 1 << 24, 7
+        )
     fresh = fresh.withColumn("host", host_expr(F.col("url")))
     gated = (
         fresh.join(F.broadcast(robots), "host", "left")
@@ -102,9 +118,12 @@ def frontier_round(spark, n: int | None = None, warmup: bool = True) -> tuple[fl
     )
     batch = pol.pop_batch(gated, budgets, salt=8)
     n_batch = batch.count()
-    n_blob = new_shards.select(F.sum("n_items")).collect()[0][0]
+    if strategy == "anti":
+        n_state = new_seen.count()
+    else:
+        n_state = new_shards.select(F.sum("n_items")).collect()[0][0]
     dt = time.time() - t0
-    assert n_batch > 0 and n_blob > 0
+    assert n_batch > 0 and n_state > 0
     frontier.unpersist()
     return dt, n
 
@@ -117,9 +136,18 @@ def main():
 
     queries: dict[str, float] = {}
 
-    dt, n = frontier_round(spark)
-    queries["frontier_round"] = round(dt, 3)
-    urls_per_sec = n / dt
+    strategies = os.environ.get("BENCH_STRATEGIES", "bloom,anti").split(",")
+    urls_per_sec = urls_per_sec_anti = None
+    if "bloom" in strategies:
+        dt, n = frontier_round(spark)
+        queries["frontier_round"] = round(dt, 3)
+        urls_per_sec = n / dt
+    if "anti" in strategies:
+        dta, n = frontier_round(spark, strategy="anti")
+        queries["frontier_round_anti"] = round(dta, 3)
+        urls_per_sec_anti = n / dta
+    if urls_per_sec is None:
+        urls_per_sec = urls_per_sec_anti
 
     if run_queries:
         from __spark_entry__ import queries as q_entries
@@ -139,6 +167,7 @@ def main():
         "unit": "urls/sec",
         "total_sec": total,
         "frontier_urls": N_FRONTIER,
+        "urls_per_sec_anti": round(urls_per_sec_anti, 1) if urls_per_sec_anti else None,
         "queries": queries,
         "sf": sf_dir,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

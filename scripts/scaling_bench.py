@@ -49,12 +49,18 @@ def main():
         print(f"local[{cpus}]: {runs[cpus]['value']} urls/sec", flush=True)
     thr8, thr32 = runs[8]["value"], runs[32]["value"]
     eff = (thr32 / thr8) / 4
+    a8 = runs[8].get("urls_per_sec_anti")
+    a32 = runs[32].get("urls_per_sec_anti")
     result = {
         "n_urls": n_urls,
         "urls_per_sec_local8": thr8,
         "urls_per_sec_local32": thr32,
         "scaling_efficiency_8_to_32": round(eff, 3),
     }
+    if a8 and a32:
+        result["anti_urls_per_sec_local8"] = a8
+        result["anti_urls_per_sec_local32"] = a32
+        result["anti_scaling_efficiency"] = round((a32 / a8) / 4, 3)
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -47,6 +47,36 @@ def test_spark_matches_python(spark, mode):
     assert sum(n_items.values()) == sum(py.n_items)
 
 
+def test_anti_join_strategy_matches(spark):
+    """The JVM-only anti-join strategy returns the same fresh set as the
+    cogroup strategies (it is exact by construction)."""
+    import pyspark.sql.functions as F
+
+    from geocrawl_spark.seen import filter_and_update_anti
+
+    first, second = _urls(200), _urls(300)
+    py = PySeenFilter("exact", 4, 1 << 16, 7)
+    f1 = py.add_all(first)
+    f2 = py.add_all(second)
+
+    empty = spark.range(0).select(F.xxhash64(F.col("id").cast("string")).alias("h1"))
+    c1 = spark.createDataFrame(
+        pd.DataFrame({"url": first, "depth": [1] * len(first)}),
+        "url string, depth long",
+    )
+    fresh1, seen1, stats1 = filter_and_update_anti(c1, empty)
+    assert sorted(r["url"] for r in fresh1.collect()) == sorted(f1)
+    seen1 = spark.createDataFrame(seen1.toPandas())
+    c2 = spark.createDataFrame(
+        pd.DataFrame({"url": second, "depth": [2] * len(second)}),
+        "url string, depth long",
+    )
+    fresh2, seen2, stats2 = filter_and_update_anti(c2, seen1)
+    assert sorted(r["url"] for r in fresh2.collect()) == sorted(f2)
+    s = {r["kind"]: (r["n_cand"], r["n_fresh"]) for r in stats2.collect()}
+    assert s == {"page": (300, 100)}
+
+
 def test_within_batch_dedup(spark):
     shards = init_shards(spark, "exact", 2, 1 << 10, 3)
     cand = spark.createDataFrame(
