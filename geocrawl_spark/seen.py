@@ -16,9 +16,18 @@ Two blob codecs with one wire protocol:
 - ``exact``  — sorted uint64 array of h1 values (test/golden mode; also a
   legitimate production mode at ~8 bytes/url);
 - ``bloom``  — classic Bloom bitset, k probes by double hashing
-  idx_i = (h1 + i*h2) mod m (Kirsch-Mitzenmacher), ~1.2 GB per shard at
-  10^9 urls/shard with 1e-9 FPR; sizing per Vacuum Filters (VLDB'19)
-  discussion in PAPERS.md.
+  idx_i = (h1 + i*h2) mod m (Kirsch-Mitzenmacher).  Sizing at k=7:
+  FPR = (1 - e^{-7/b})^7 for b bits/key — ~1.0% at b=9.6 (1.2 GB per
+  10^9 urls/shard), ~0.1% at b=14.4 (1.8 GB).  A 1e-9 FPR target needs
+  b≈43 and k≈30 (~5.4 GB per 10^9); for a crawl frontier ~0.1% is the
+  right trade (an FP merely skips one URL, deterministically).  Sizing
+  discussion follows Vacuum Filters (VLDB'19) notes in PAPERS.md.
+
+A third, pure-JVM representation of the SAME bloom filter lives in
+:func:`filter_and_update_bitmap` below — the bitset is stored as rows
+(one 64-bit word per row) instead of a binary blob, so membership and
+insert stay entirely in Tungsten (no Arrow crossing).  All three agree
+bit-for-bit on probe positions when ``m_bits`` is a power of two.
 
 The pure-Python twin (:class:`PySeenFilter`) uses the same hash values
 (hashing.py == Spark's xxhash64 bit-for-bit), so pyref and Spark agree
@@ -244,11 +253,16 @@ def filter_and_update_anti(
     xxhash64 values — zero Arrow/Python crossings, whole plan stays in
     Tungsten.  Same contract as :func:`filter_and_update`.
 
-    Trade-off vs the sharded-blob cogroup: Catalyst shuffles BOTH sides
-    of the join every round (the seen table grows with the crawl), while
-    the blob design shuffles only the candidates against fixed-size
-    shard state.  At 10^10 URLs the blob path wins; below ~10^8 this
-    anti-join is simpler AND faster (and AQE handles its skew).
+    Trade-off vs the sharded-blob cogroup: in this in-memory form,
+    Catalyst shuffles BOTH sides of the join every round (the seen
+    table grows with the crawl), so below ~10^8 it is simpler AND
+    faster but degrades beyond that.  The 10^10 deployment of the same
+    plan stores ``seen_hashes`` as an Iceberg table bucketed by
+    ``bucket(N, h1)`` with candidates repartitioned to the same
+    buckets: a storage-partitioned join — only the (bounded) candidate
+    batch shuffles, and the update APPENDS fresh h1 rows to their
+    buckets instead of rewriting the table.  For a state that is
+    cheaper still per round, see :func:`filter_and_update_bitmap`.
 
     ``seen_hashes`` is (h1 long); returns (fresh(url, depth, kind),
     new_seen_hashes, dedup_stats_df) where stats has (kind, n_cand,
@@ -268,7 +282,6 @@ def filter_and_update_anti(
         )
         .select("h1", "s.url", "s.depth", "s.kind")
     )
-    n_cand = cand.select("h1").distinct()
     fresh = w_cand.join(seen_hashes, "h1", "left_anti").persist()
     new_seen = seen_hashes.unionByName(fresh.select("h1"))
     stats = (
@@ -279,8 +292,122 @@ def filter_and_update_anti(
             F.count("_f").alias("n_fresh"),
         )
     )
-    _ = n_cand  # distinct count folded into stats (n_cand is per-kind there)
     return fresh.select("url", "depth", "kind"), new_seen, stats
+
+
+# ---------------------------------------------------------------------------
+# JVM-only strategy: distributed Bloom bitmap stored as (word_id, bits) rows
+# ---------------------------------------------------------------------------
+
+def _probe_positions(m_bits: int, k: int) -> list:
+    """k Kirsch-Mitzenmacher probe positions as JVM column expressions.
+
+    ``m_bits`` MUST be a power of two: then signed-long low-bit math
+    equals the uint64 math of the blob codecs (two's complement), i.e.
+    (h1 + i*h2) mod 2^64 mod m == ((h1 & (m-1)) + i*(h2 & (m-1))) & (m-1),
+    and each term stays < k*m so nothing overflows under ANSI mode.
+    Bit-identical to :func:`_contains`/:func:`_insert` bloom positions
+    (verified in tests/test_seen.py::test_bitmap_strategy_matches_blob).
+    """
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    m = F.lit(m_bits - 1)
+    lo1 = F.col("h1").bitwiseAND(m)
+    lo2 = F.col("h2").bitwiseAND(m)
+    return [(lo1 + F.lit(i) * lo2).bitwiseAND(m) for i in range(k)]
+
+
+def _probe_df(df: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """(h1, h2, ...) -> k rows per input: (h1, word_id, mask)."""
+    return df.select(
+        "h1", F.explode(F.array(*_probe_positions(m_bits, k))).alias("pos")
+    ).select(
+        "h1",
+        F.shiftright("pos", 6).alias("word_id"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST((pos & 63) AS INT))").alias("mask"),
+    )
+
+
+def init_bitmap(spark) -> DataFrame:
+    """Empty bloom bitmap: rows (word_id long, bits long); absent word == 0."""
+    return spark.range(0).select(
+        F.col("id").alias("word_id"), F.col("id").alias("bits")
+    )
+
+
+def filter_and_update_bitmap(
+    candidates: DataFrame,
+    bitmap: DataFrame,
+    m_bits: int = 1 << 24,
+    k: int = 7,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Bloom seen-filter entirely in Tungsten: the bitset is a DataFrame
+    of 64-bit words (word_id = bit_position >> 6), membership is an
+    equi-join on word_id + bitwise AND, insert is a bit_or aggregation
+    merged back by full-outer join.  Zero Arrow/Python crossings.
+
+    This is the 10^10-scale design: at 10^10 URLs and 14.4 bits/key the
+    bitmap is ~2.2x10^9 rows (~35 GB), stored bucketed by word_id so the
+    per-round membership join is storage-partitioned (only the k x
+    |batch| probe rows shuffle, never the bitmap), and the update MERGEs
+    only the ~k x |fresh| touched words.  Word-ranges ARE the hash-range
+    shards of the north_star design — a shard is a word_id interval.
+
+    Same batch semantics as the cogroup pass: within-batch dedup by
+    (h1 -> min (depth, url, kind)), then test ALL candidates against the
+    pre-batch bitmap, then insert the fresh ones.  Probe positions are
+    bit-identical to the ``bloom`` blob codec (power-of-two ``m_bits``),
+    so :class:`PySeenFilter` with ``n_shards=1`` is its exact twin,
+    including deterministic false positives.
+
+    Returns (fresh(url, depth, kind), new_bitmap, stats(kind, n_cand,
+    n_fresh), persisted_parent) — caller unpersists the parent after
+    consuming fresh/stats/new_bitmap.
+    """
+    if "kind" not in candidates.columns:
+        candidates = candidates.withColumn("kind", F.lit("page"))
+    cand = (
+        candidates.select("url", "depth", "kind")
+        .withColumn("h1", F.xxhash64("url"))
+        .withColumn("h2", F.xxhash64(F.concat(F.col("url"), F.lit(H2_SUFFIX))))
+    )
+    # within-batch dedup: min (depth, url) per hash — h2 rides inside the
+    # struct so it stays the h2 of the kept url (deterministic)
+    w = (
+        cand.groupBy("h1")
+        .agg(F.min(F.struct("depth", "url", "kind", "h2")).alias("s"))
+        .select("h1", "s.h2", "s.url", "s.depth", "s.kind")
+    )
+    seen_flag = (
+        _probe_df(w, m_bits, k)
+        .join(bitmap, "word_id", "left")
+        .groupBy("h1")
+        .agg(
+            F.every(
+                F.coalesce(
+                    F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
+                    F.lit(False),
+                )
+            ).alias("seen")
+        )
+    )
+    out = w.join(seen_flag, "h1").persist()
+    fresh = out.filter(~F.col("seen"))
+    delta = (
+        _probe_df(fresh, m_bits, k)
+        .groupBy("word_id")
+        .agg(F.bit_or("mask").alias("dbits"))
+    )
+    new_bitmap = bitmap.join(delta, "word_id", "full").select(
+        "word_id",
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseOR(F.coalesce(F.col("dbits"), F.lit(0)))
+        .alias("bits"),
+    )
+    stats = out.groupBy("kind").agg(
+        F.count("*").alias("n_cand"),
+        F.sum(F.when(F.col("seen"), 0).otherwise(1)).alias("n_fresh"),
+    )
+    return fresh.select("url", "depth", "kind"), new_bitmap, stats, out
 
 
 def admission_stats(out: DataFrame) -> dict[str, dict[str, int]]:

@@ -77,6 +77,75 @@ def test_anti_join_strategy_matches(spark):
     assert s == {"page": (300, 100)}
 
 
+def test_bitmap_strategy_matches_blob(spark):
+    """JVM bitmap bloom == blob bloom bit-for-bit: tiny m_bits forces
+    real false positives, which must agree exactly (same Kirsch-
+    Mitzenmacher positions) with the PySeenFilter blob twin."""
+    import pyspark.sql.functions as F
+
+    from geocrawl_spark.seen import filter_and_update_bitmap, init_bitmap
+
+    m_bits, k = 1 << 12, 7  # 4096 bits, 2000+ urls -> plenty of FPs
+    first, second = _urls(1200), _urls(2000)
+
+    py = PySeenFilter("bloom", n_shards=1, m_bits=m_bits, k=k)
+    f1 = py.add_batch(first)
+    f2 = py.add_batch(second)
+    # batch-2 novel urls (800) collide with batch-1 bits -> real FPs
+    assert len(f2) < len(set(second) - set(first))
+
+    c1 = spark.createDataFrame(
+        pd.DataFrame({"url": first, "depth": [1] * len(first)}),
+        "url string, depth long",
+    )
+    fresh1, bm1, stats1, out1 = filter_and_update_bitmap(
+        c1, init_bitmap(spark), m_bits, k
+    )
+    assert sorted(r["url"] for r in fresh1.collect()) == f1
+    bm1 = spark.createDataFrame(bm1.toPandas(), "word_id long, bits long")
+    out1.unpersist()
+
+    c2 = spark.createDataFrame(
+        pd.DataFrame({"url": second, "depth": [2] * len(second)}),
+        "url string, depth long",
+    )
+    fresh2, bm2, stats2, out2 = filter_and_update_bitmap(c2, bm1, m_bits, k)
+    assert sorted(r["url"] for r in fresh2.collect()) == f2
+    s = {r["kind"]: (r["n_cand"], r["n_fresh"]) for r in stats2.collect()}
+    assert s == {"page": (2000, len(f2))}
+    out2.unpersist()
+
+
+def test_bitmap_strategy_plan_is_jvm_only(spark):
+    """The bitmap membership plan contains no Python/Arrow operator."""
+    import pyspark.sql.functions as F
+
+    from geocrawl_spark.seen import filter_and_update_bitmap, init_bitmap
+
+    c = spark.createDataFrame(
+        pd.DataFrame({"url": _urls(10), "depth": [1] * 10}),
+        "url string, depth long",
+    )
+    fresh, bm, stats, out = filter_and_update_bitmap(c, init_bitmap(spark))
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    out.unpersist()
+
+
+def test_bitmap_within_batch_dedup(spark):
+    from geocrawl_spark.seen import filter_and_update_bitmap, init_bitmap
+
+    cand = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u1", "u2"], "depth": [5, 2, 1]}),
+        "url string, depth long",
+    )
+    fresh, _, _, out = filter_and_update_bitmap(cand, init_bitmap(spark))
+    got = {r["url"]: r["depth"] for r in fresh.collect()}
+    assert got == {"u1": 2, "u2": 1}
+    out.unpersist()
+
+
 def test_within_batch_dedup(spark):
     shards = init_shards(spark, "exact", 2, 1 << 10, 3)
     cand = spark.createDataFrame(
