@@ -32,8 +32,9 @@ Scale notes (100 TB design point):
   join (no shuffle of the big side);
 - the frontier snapshot rewrite per round is an Iceberg MERGE in
   production (row-level); Parquet-rewrite here (same semantics);
-- the global fetch_seq window sorts only the per-round batch, which is
-  bounded by sum(host budgets), not by frontier size;
+- fetch_seq is a distributed rank (range partition + per-partition
+  offsets, :func:`global_sequence`) — no single-partition stage even
+  when the round batch is millions of rows;
 - per-round driver-side actions are consolidated: one count on pending,
   one combined fetch agg, one admission-stats agg read from the persisted
   cogroup output, plus the snapshot writes.
@@ -65,6 +66,58 @@ COUNTER_KEYS = [
     "robots_denied", "discovered", "assets_extracted", "dead_letters",
 ]
 
+#: seen-filter strategies CrawlEngine can run (``mode=`` ctor arg):
+#: - exact / bloom: sharded-blob cogroup (seen.filter_and_update)
+#: - anti:          pure-JVM xxhash64 anti-join (filter_and_update_anti)
+#: - bitword:       pure-JVM bloom bitmap as word rows (filter_and_update_bitmap)
+SEEN_MODES = ("exact", "bloom", "anti", "bitword")
+
+
+def global_sequence(
+    df: DataFrame, order_cols: list[str], seq_col: str = "fetch_seq",
+    n_parts: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed total-order rank by ``order_cols`` (assumed unique).
+
+    Replaces the single-partition ``row_number().over(Window.orderBy(...))``
+    anti-pattern: range-partition on the order columns, rank within each
+    partition, add per-partition offsets.  The offsets come from a tiny
+    (<= n_parts rows) count collect — driver metadata, like AQE stats —
+    so NO stage funnels the data through one task.  The result is
+    boundary-independent (the global rank of a row does not depend on
+    where Spark's range sampler cuts), hence deterministic.
+
+    Returns (df_with_seq, persisted_parent); caller unpersists the
+    parent after consuming the result.
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    b = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in b.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    if not counts:
+        return b.drop("_pid").withColumn(seq_col, F.lit(None).cast("long")), b
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        b.withColumn(
+            seq_col,
+            (F.row_number().over(w) + F.element_at(off_map, F.col("_pid"))).cast("long"),
+        )
+        .drop("_pid")
+    )
+    return out, b
+
 
 class CrawlEngine:
     def __init__(
@@ -92,18 +145,51 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
-    def _admit(self, cand: DataFrame, shards: DataFrame, round_no: int):
-        """Candidates (url, depth, kind) -> flagged fresh rows + shards'.
+    def _init_seen_state(self) -> DataFrame:
+        if self.mode in ("exact", "bloom"):
+            return S.init_shards(
+                self.spark, self.mode, self.n_shards, self.m_bits, self.k
+            )
+        if self.mode == "anti":
+            return S.init_hashes(self.spark)
+        if self.mode == "bitword":
+            return S.init_bitmap(self.spark)
+        raise ValueError(f"unknown seen mode {self.mode!r}; one of {SEEN_MODES}")
 
-        One cogroup pass does within-batch dedup + seen-test + blob update
-        + per-kind stats; robots are checked on the fresh survivors only.
-        Returns (flagged, new_shards, seen_out, stats); ``flagged`` is
-        persisted — caller unpersists (and unpersists seen_out after the
-        shards snapshot is written).
+    @staticmethod
+    def _stats_dict(stats_df: DataFrame) -> dict:
+        return {
+            r["kind"]: {
+                "candidates": int(r["n_cand"]),
+                "fresh": int(r["n_fresh"]),
+                "deduped": int(r["n_cand"] - r["n_fresh"]),
+            }
+            for r in stats_df.collect()
+        }
+
+    def _admit(self, cand: DataFrame, state: DataFrame, round_no: int):
+        """Candidates (url, depth, kind) -> flagged fresh rows + state'.
+
+        One seen-filter pass (strategy per ``self.mode``) does
+        within-batch dedup + seen-test + state update + per-kind stats;
+        robots are checked on the fresh survivors only.  Returns
+        (flagged, new_state, parents, stats); ``flagged`` is persisted —
+        caller unpersists it and every df in ``parents`` after the state
+        snapshot is written.
         """
-        fresh, new_shards, seen_out = S.filter_and_update(
-            cand, shards, self.mode, self.n_shards, self.m_bits, self.k
-        )
+        if self.mode in ("exact", "bloom"):
+            fresh, new_state, seen_out = S.filter_and_update(
+                cand, state, self.mode, self.n_shards, self.m_bits, self.k
+            )
+            parents, stats_fn = [seen_out], lambda: S.admission_stats(seen_out)
+        elif self.mode == "anti":
+            fresh, new_state, stats_df, parent = S.filter_and_update_anti(cand, state)
+            parents, stats_fn = [parent], lambda: self._stats_dict(stats_df)
+        else:  # bitword
+            fresh, new_state, stats_df, parent = S.filter_and_update_bitmap(
+                cand, state, self.m_bits, self.k
+            )
+            parents, stats_fn = [parent], lambda: self._stats_dict(stats_df)
         flagged = (
             fresh.withColumn("host", host_expr(F.col("url")))
             .join(F.broadcast(self.robots), "host", "left")
@@ -113,9 +199,9 @@ class CrawlEngine:
             .select("url", "host", "depth", "kind", "denied")
             .persist()
         )
-        flagged.count()  # materialize once (also executes the cogroup)
-        stats = S.admission_stats(seen_out)
-        return flagged, new_shards, seen_out, stats
+        flagged.count()  # materialize once (also executes the seen filter)
+        stats = stats_fn()
+        return flagged, new_state, parents, stats
 
     def _frontier_rows(self, flagged: DataFrame, round_no: int) -> DataFrame:
         return flagged.filter(F.col("kind") == "page").select(
@@ -134,25 +220,25 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def init_state(self) -> dict:
         """Round 0: admit the seed list; commit the initial snapshot."""
-        shards = S.init_shards(self.spark, self.mode, self.n_shards, self.m_bits, self.k)
+        state = self._init_seen_state()
         seeds = self.seeds.select(
             canonicalize_url_expr("url").alias("url"),
             F.lit(0).cast("long").alias("depth"),
             F.lit("page").alias("kind"),
         )
-        flagged, new_shards, seen_out, stats = self._admit(seeds, shards, 0)
+        flagged, new_state, parents, stats = self._admit(seeds, state, 0)
         counters = {k: 0 for k in COUNTER_KEYS}
         pstats = stats.get("page", {"deduped": 0, "fresh": 0})
         counters["deduped"] = pstats["deduped"]
         counters["robots_denied"] = flagged.filter(F.col("denied")).count()
         counters["discovered"] = pstats["fresh"] - counters["robots_denied"]
         self.io.write_table(self._frontier_rows(flagged, 0), "frontier", 0)
-        self.io.write_table(new_shards, "seen_shards", 0)
+        self.io.write_table(new_state, "seen_shards", 0)
         self.io.write_table(flagged.select("url", "kind"), "admitted", 0)
         self._write_counters(counters, 0)
         self.io.commit_round(0, ["frontier", "seen_shards", "admitted", "crawl_log"])
-        flagged.unpersist()
-        seen_out.unpersist()
+        for df in (flagged, *parents):
+            df.unpersist()
         return counters
 
     def _write_counters(self, counters: dict, round_no: int) -> None:
@@ -165,7 +251,7 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
         frontier = self.io.read_table(self.spark, "frontier", round_no - 1)
-        shards = self.io.read_table(self.spark, "seen_shards", round_no - 1)
+        state = self.io.read_table(self.spark, "seen_shards", round_no - 1)
         pending = frontier.filter(F.col("status") == "pending")
         n_pending = pending.count()
         counters = {k: 0 for k in COUNTER_KEYS}
@@ -173,9 +259,13 @@ class CrawlEngine:
             return {"done": True, **counters}
 
         # --- politeness pop (bounded batch) ----------------------------
-        batch = pol.pop_batch(pending, self.hostbudget, self.salt)
-        batch = batch.withColumn(
-            "fetch_seq", F.row_number().over(Window.orderBy("priority", "url"))
+        # fetch_seq: distributed total order by (priority, url) — range
+        # partition + per-partition rank + offsets, NEVER a global
+        # single-partition window (tests/test_politeness.py asserts the
+        # plan has no SinglePartition exchange).
+        batch, batch_parent = global_sequence(
+            pol.pop_batch(pending, self.hostbudget, self.salt),
+            ["priority", "url"],
         )
 
         # --- fetch (join the pages table) -------------------------------
@@ -222,7 +312,7 @@ class CrawlEngine:
         )
 
         # --- single admission pass (seen filter + robots) ----------------
-        flagged, new_shards, seen_out, stats = self._admit(cand, shards, round_no)
+        flagged, new_state, parents, stats = self._admit(cand, state, round_no)
         p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
         a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
         denied_counts = {
@@ -247,7 +337,7 @@ class CrawlEngine:
         counters["dead_letters"] = dead.count()
 
         self.io.write_table(flagged.select("url", "kind"), "admitted", round_no)
-        self.io.write_table(new_shards, "seen_shards", round_no)
+        self.io.write_table(new_state, "seen_shards", round_no)
 
         # --- per-host lineage (north_rule: per-partition lineage+metrics;
         # the salted host partition is the politeness/parallelism unit) ---
@@ -289,7 +379,7 @@ class CrawlEngine:
             ["frontier", "seen_shards", "admitted", "crawl_log", "extracted",
              "metadata", "dead_letters", "host_log"],
         )
-        for df in (fetched, flagged, seen_out, parsed):
+        for df in (fetched, flagged, batch_parent, parsed, *parents):
             df.unpersist()
         return {"done": False, **counters}
 

@@ -265,8 +265,9 @@ def filter_and_update_anti(
     cheaper still per round, see :func:`filter_and_update_bitmap`.
 
     ``seen_hashes`` is (h1 long); returns (fresh(url, depth, kind),
-    new_seen_hashes, dedup_stats_df) where stats has (kind, n_cand,
-    n_fresh) — same numbers as :func:`admission_stats` provides.
+    new_seen_hashes, dedup_stats_df, persisted_parent) where stats has
+    (kind, n_cand, n_fresh) — same numbers as :func:`admission_stats`
+    provides; caller unpersists the parent when done.
     """
     if "kind" not in candidates.columns:
         candidates = candidates.withColumn("kind", F.lit("page"))
@@ -292,7 +293,12 @@ def filter_and_update_anti(
             F.count("_f").alias("n_fresh"),
         )
     )
-    return fresh.select("url", "depth", "kind"), new_seen, stats
+    return fresh.select("url", "depth", "kind"), new_seen, stats, fresh
+
+
+def init_hashes(spark) -> DataFrame:
+    """Empty seen-hash table for the anti-join strategy: (h1 long)."""
+    return spark.range(0).select(F.xxhash64(F.col("id").cast("string")).alias("h1"))
 
 
 # ---------------------------------------------------------------------------

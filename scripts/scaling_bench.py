@@ -23,6 +23,7 @@ def run_at(cpus: int, n_urls: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_QUERIES"] = "0"
     env["BENCH_FRONTIER_URLS"] = str(n_urls)
+    env.setdefault("BENCH_STRATEGIES", "bitword")
     env.setdefault("BENCH_REPEAT", "3")  # best-of-3 (noisy shared host)
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     # pin the N-core run to N hardware threads so its JVM/GC/shuffle
@@ -42,25 +43,23 @@ def run_at(cpus: int, n_urls: int) -> dict:
 
 def main():
     n_urls = int(os.environ.get("BENCH_FRONTIER_URLS", 4_000_000))
+    strategies = os.environ.get("BENCH_STRATEGIES", "bitword").split(",")
     runs = {}
     for cpus in (8, 32):
         # warm-up run then measured run, fresh JVM each
         runs[cpus] = run_at(cpus, n_urls)
-        print(f"local[{cpus}]: {runs[cpus]['value']} urls/sec", flush=True)
-    thr8, thr32 = runs[8]["value"], runs[32]["value"]
-    eff = (thr32 / thr8) / 4
-    a8 = runs[8].get("urls_per_sec_anti")
-    a32 = runs[32].get("urls_per_sec_anti")
-    result = {
-        "n_urls": n_urls,
-        "urls_per_sec_local8": thr8,
-        "urls_per_sec_local32": thr32,
-        "scaling_efficiency_8_to_32": round(eff, 3),
-    }
-    if a8 and a32:
-        result["anti_urls_per_sec_local8"] = a8
-        result["anti_urls_per_sec_local32"] = a32
-        result["anti_scaling_efficiency"] = round((a32 / a8) / 4, 3)
+        print(
+            f"local[{cpus}]: {runs[cpus]['urls_per_sec_by_strategy']}", flush=True
+        )
+    result = {"n_urls": n_urls}
+    for strat in strategies:
+        thr8 = runs[8]["urls_per_sec_by_strategy"][strat]
+        thr32 = runs[32]["urls_per_sec_by_strategy"][strat]
+        result[strat] = {
+            "urls_per_sec_local8": thr8,
+            "urls_per_sec_local32": thr32,
+            "scaling_efficiency_8_to_32": round((thr32 / thr8) / 4, 3),
+        }
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -79,9 +78,12 @@ def main():
                 "| when (UTC) | urls | urls/sec local[8] | urls/sec local[32] | efficiency |\n"
                 "|---|---|---|---|---|\n"
             )
-        f.write(
-            f"| {stamp} | {n_urls} | {thr8} | {thr32} | {result['scaling_efficiency_8_to_32']} |\n"
-        )
+        for strat in strategies:
+            r = result[strat]
+            f.write(
+                f"| {stamp} ({strat}) | {n_urls} | {r['urls_per_sec_local8']} "
+                f"| {r['urls_per_sec_local32']} | {r['scaling_efficiency_8_to_32']} |\n"
+            )
 
 
 if __name__ == "__main__":

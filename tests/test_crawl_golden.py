@@ -185,13 +185,20 @@ def test_dead_letters_identical(spark_run, pyref_run):
     assert len(got) > 0  # B4 dead-letter path exercised
 
 
-def test_bloom_mode_matches_exact(spark, fixtures, tmp_path_factory, pyref_run):
-    """Same crawl under the bloom codec — identical results at this scale
-    (and any FP would be deterministic in both implementations)."""
-    eng = _mk_engine(spark, fixtures, tmp_path_factory.mktemp("crawlb"), mode="bloom")
-    eng.run(max_rounds=50)
+@pytest.mark.parametrize("mode", ["bloom", "anti", "bitword"])
+def test_seen_modes_match_exact(spark, fixtures, tmp_path_factory, pyref_run, mode):
+    """Same crawl under every alternative seen-filter strategy — identical
+    ordering, seen set, AND per-round counters.  bloom/bitword FPs would
+    be deterministic in both implementations (none at this m_bits)."""
+    eng = _mk_engine(spark, fixtures, tmp_path_factory.mktemp(f"crawl_{mode}"), mode=mode)
+    log = eng.run(max_rounds=50)
     assert eng.crawl_order() == pyref_run.crawl_order
     assert eng.seen_urls() == pyref_run.seen_urls()
+    want = {
+        c["round"]: {k: c[k] for k in COUNTER_KEYS} for c in pyref_run.counters_log
+    }
+    got = {e["round"]: {k: e[k] for k in COUNTER_KEYS} for e in log}
+    assert all(got[r] == want[r] for r in got) and len(got) > 3
 
 
 def test_kill_resume_identical(spark, fixtures, tmp_path_factory, spark_run, pyref_run):

@@ -86,3 +86,46 @@ def test_robots_both_dialects(spark):
         ).collect()
     ]
     assert got == [w for _, _, w in cases]
+
+
+def test_global_sequence_matches_global_sort(spark):
+    """Distributed fetch_seq rank == the naive single-partition global
+    window, and its physical plan contains NO SinglePartition exchange."""
+    import pandas as pd
+
+    from geocrawl_spark.frontier import global_sequence
+
+    pdf = pd.DataFrame(
+        {
+            "priority": [i % 7 for i in range(5000)],
+            "url": [f"http://h{i % 13}.org/p/{i:05d}" for i in range(5000)],
+        }
+    )
+    df = spark.createDataFrame(pdf, "priority long, url string")
+    out, parent = global_sequence(df, ["priority", "url"], n_parts=16)
+    got = {
+        r["url"]: r["fetch_seq"]
+        for r in out.select("url", "fetch_seq").collect()
+    }
+    want = {
+        row["url"]: seq
+        for seq, row in enumerate(
+            sorted(pdf.to_dict("records"), key=lambda r: (r["priority"], r["url"])),
+            start=1,
+        )
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    parent.unpersist()
+
+
+def test_global_sequence_empty(spark):
+    from geocrawl_spark.frontier import global_sequence
+
+    df = spark.range(0).select(
+        F.col("id").alias("priority"), F.col("id").cast("string").alias("url")
+    )
+    out, parent = global_sequence(df, ["priority", "url"])
+    assert out.count() == 0 and "fetch_seq" in out.columns
+    parent.unpersist()

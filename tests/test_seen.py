@@ -64,14 +64,14 @@ def test_anti_join_strategy_matches(spark):
         pd.DataFrame({"url": first, "depth": [1] * len(first)}),
         "url string, depth long",
     )
-    fresh1, seen1, stats1 = filter_and_update_anti(c1, empty)
+    fresh1, seen1, stats1, _p1 = filter_and_update_anti(c1, empty)
     assert sorted(r["url"] for r in fresh1.collect()) == sorted(f1)
     seen1 = spark.createDataFrame(seen1.toPandas())
     c2 = spark.createDataFrame(
         pd.DataFrame({"url": second, "depth": [2] * len(second)}),
         "url string, depth long",
     )
-    fresh2, seen2, stats2 = filter_and_update_anti(c2, seen1)
+    fresh2, seen2, stats2, _p2 = filter_and_update_anti(c2, seen1)
     assert sorted(r["url"] for r in fresh2.collect()) == sorted(f2)
     s = {r["kind"]: (r["n_cand"], r["n_fresh"]) for r in stats2.collect()}
     assert s == {"page": (300, 100)}
