@@ -48,10 +48,16 @@ N_HOSTS = 1000
 N_SHARDS = 128
 
 
+# bitword sizing: k=4 probes at >=16 bits/key -> FPR ~0.35% — probe-row
+# volume (the shuffle cost) scales with k, so fewer/wider beats k=7 here;
+# an FP merely skips one URL, deterministically (sizing notes in seen.py).
+_BITWORD_K = 4
+
+
 def _bitword_m_bits(n: int) -> int:
-    """Smallest power of two giving >= ~14 bits/key (~0.1% FPR at k=7)."""
+    """Smallest power of two giving >= ~16 bits/key."""
     m = 1 << 20
-    while m < 14 * n:
+    while m < 16 * n:
         m <<= 1
     return m
 
@@ -120,7 +126,7 @@ def frontier_round(
         )
     elif strategy == "bitword":
         fresh, new_state, _stats, _parent = S.filter_and_update_bitmap(
-            frontier, bitmap, bit_m, 7
+            frontier, bitmap, bit_m, _BITWORD_K
         )
     else:
         fresh, new_state, _ = S.filter_and_update(

@@ -16,6 +16,14 @@ Swap-in path for a real cluster: replace _write/_read with Iceberg
 ``writeTo(...).createOrReplace()`` + snapshot IDs in the manifest; the
 engine code (frontier.py) only touches this API.
 
+Row-level updates (Iceberg MERGE analog): ``write_table_delta`` rewrites
+only the touched partitions of a partitioned table and records a
+partition -> owner-round map in the manifest (an Iceberg manifest's file
+list, in miniature); readers assemble the snapshot from the referenced
+rounds' directories.  The frontier uses this with discovered_round (BFS
+layer) as the partition key, so a round's write cost is O(batch +
+admissions), never O(frontier).
+
 Crucially, a round is COMMITTED only after all its tables are fully
 written (manifest rename is the commit point), so a kill at any moment
 leaves the previous round intact — resume re-reads the last committed
@@ -32,12 +40,16 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class TableIO:
     def __init__(self, base_dir: str):
         self.base = base_dir
         os.makedirs(self.base, exist_ok=True)
+        # partition maps staged by write_table_delta until commit_round
+        # makes them durable (the manifest rename is the commit point)
+        self._staged_partmaps: dict[tuple[str, int], dict[str, int]] = {}
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -56,6 +68,14 @@ class TableIO:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)  # atomic commit point
 
+    def set_meta(self, key: str, value) -> None:
+        m = self._read_manifest()
+        m.setdefault("meta", {})[key] = value
+        self._write_manifest(m)
+
+    def get_meta(self, key: str):
+        return self._read_manifest().get("meta", {}).get(key)
+
     def latest_round(self) -> int | None:
         m = self._read_manifest()
         return max(m["committed"]) if m["committed"] else None
@@ -67,11 +87,58 @@ class TableIO:
     def write_table(self, df: DataFrame, name: str, round_no: int) -> None:
         df.write.mode("overwrite").parquet(self._table_path(name, round_no))
 
+    # -- partitioned MERGE-style writes (Iceberg row-level-update analog) ----
+    def write_table_delta(
+        self,
+        df: DataFrame,
+        name: str,
+        round_no: int,
+        part_col: str,
+        touched: list[int],
+        base_round: int | None,
+    ) -> None:
+        """Rewrite ONLY the ``touched`` partitions of a table partitioned by
+        ``part_col``; untouched partitions stay owned by the round that
+        last wrote them (the manifest records partition -> owner round,
+        exactly an Iceberg manifest's file list).  ``df`` must contain the
+        full new content of the touched partitions and nothing else.  At
+        10^10-frontier scale this is the MERGE: per-round write cost is
+        O(touched partitions + new rows), never O(frontier).
+        """
+        m = self._read_manifest()
+        prev: dict[str, int] = (
+            m.get("partitions", {}).get(name, {}).get(str(base_round), {})
+            if base_round is not None
+            else {}
+        )
+        # _part mirrors part_col as the directory key so the data column
+        # survives in the files (partitionBy drops its source column)
+        df.withColumn("_part", F.col(part_col)).write.mode("overwrite").partitionBy(
+            "_part"
+        ).parquet(self._table_path(name, round_no))
+        new_map = dict(prev)
+        for t in touched:
+            new_map[str(t)] = round_no
+        self._staged_partmaps[(name, round_no)] = new_map
+
     def read_table(self, spark: SparkSession, name: str, round_no: int | None = None) -> DataFrame:
         if round_no is None:
             round_no = self.latest_round()
             if round_no is None:
                 raise FileNotFoundError("no committed rounds")
+        m = self._read_manifest()
+        pmap = m.get("partitions", {}).get(name, {}).get(str(round_no))
+        if pmap is None:
+            pmap = self._staged_partmaps.get((name, round_no))
+        if pmap is not None:
+            paths = [
+                os.path.join(self._table_path(name, owner), f"_part={p}")
+                for p, owner in pmap.items()
+            ]
+            paths = [p for p in paths if os.path.exists(p)]  # fully-emptied part
+            if not paths:
+                raise FileNotFoundError(f"{name}@r{round_no}: no partitions")
+            return spark.read.parquet(*paths)
         return spark.read.parquet(self._table_path(name, round_no))
 
     def commit_round(self, round_no: int, tables: list[str]) -> None:
@@ -79,13 +146,26 @@ class TableIO:
         if round_no not in m["committed"]:
             m["committed"].append(round_no)
         m["tables"][str(round_no)] = tables
+        for (name, rno), pmap in list(self._staged_partmaps.items()):
+            if rno == round_no:
+                m.setdefault("partitions", {}).setdefault(name, {})[str(rno)] = pmap
+                del self._staged_partmaps[(name, rno)]
         self._write_manifest(m)
 
     def rollback_to(self, round_no: int) -> None:
-        """Drop snapshots after ``round_no`` (used by kill/resume tests)."""
+        """Drop snapshots after ``round_no`` (used by kill/resume tests).
+        Partition maps of surviving rounds only ever reference owner rounds
+        <= their own round, so they stay valid."""
         m = self._read_manifest()
         for r in [r for r in m["committed"] if r > round_no]:
             shutil.rmtree(os.path.join(self.base, "rounds", f"r{r}"), ignore_errors=True)
         m["committed"] = [r for r in m["committed"] if r <= round_no]
         m["tables"] = {k: v for k, v in m["tables"].items() if int(k) <= round_no}
+        for name in m.get("partitions", {}):
+            m["partitions"][name] = {
+                k: v
+                for k, v in m["partitions"][name].items()
+                if int(k) <= round_no
+            }
+        self._staged_partmaps.clear()
         self._write_manifest(m)

@@ -203,6 +203,43 @@ class CrawlEngine:
         stats = stats_fn()
         return flagged, new_state, parents, stats
 
+    def _empty_carry(self) -> DataFrame:
+        return self.spark.createDataFrame([], "host string, carry long")
+
+    def _effective_budget(self, carry: DataFrame) -> DataFrame:
+        """(host, budget) with residual carry applied (SURVEY H1: a host
+        that under-used its budget in round k gets the leftover — capped
+        at one base budget — as credit in round k+1)."""
+        base = self.hostbudget.select(
+            "host", F.col("budget").alias("_base")
+        )
+        return base.join(carry, "host", "full").select(
+            "host",
+            (
+                F.coalesce(F.col("_base"), F.lit(pol.DEFAULT_BUDGET))
+                + F.coalesce(F.col("carry"), F.lit(0))
+            ).alias("budget"),
+        )
+
+    def _new_carry(self, pend_h: DataFrame, done_h: DataFrame, eff: DataFrame) -> DataFrame:
+        """carry' = min(effective_budget - popped, base_budget), kept only
+        for hosts still visible in pending (others reset to 0)."""
+        base = self.hostbudget.select("host", F.col("budget").alias("_base"))
+        return (
+            pend_h.join(done_h, "host", "left")
+            .join(F.broadcast(eff.withColumnRenamed("budget", "_eff")), "host", "left")
+            .join(F.broadcast(base), "host", "left")
+            .select(
+                "host",
+                F.least(
+                    F.coalesce(F.col("_eff"), F.lit(pol.DEFAULT_BUDGET))
+                    - F.coalesce(F.col("n_batch"), F.lit(0)),
+                    F.coalesce(F.col("_base"), F.lit(pol.DEFAULT_BUDGET)),
+                ).cast("long").alias("carry"),
+            )
+            .filter(F.col("carry") > 0)
+        )
+
     def _frontier_rows(self, flagged: DataFrame, round_no: int) -> DataFrame:
         return flagged.filter(F.col("kind") == "page").select(
             "url",
@@ -220,6 +257,7 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def init_state(self) -> dict:
         """Round 0: admit the seed list; commit the initial snapshot."""
+        self.io.set_meta("seen_config", [self.mode, self.n_shards, self.m_bits, self.k])
         state = self._init_seen_state()
         seeds = self.seeds.select(
             canonicalize_url_expr("url").alias("url"),
@@ -232,11 +270,17 @@ class CrawlEngine:
         counters["deduped"] = pstats["deduped"]
         counters["robots_denied"] = flagged.filter(F.col("denied")).count()
         counters["discovered"] = pstats["fresh"] - counters["robots_denied"]
-        self.io.write_table(self._frontier_rows(flagged, 0), "frontier", 0)
+        self.io.write_table_delta(
+            self._frontier_rows(flagged, 0), "frontier", 0,
+            "discovered_round", [0], None,
+        )
         self.io.write_table(new_state, "seen_shards", 0)
         self.io.write_table(flagged.select("url", "kind"), "admitted", 0)
+        self.io.write_table(self._empty_carry(), "hostcarry", 0)
         self._write_counters(counters, 0)
-        self.io.commit_round(0, ["frontier", "seen_shards", "admitted", "crawl_log"])
+        self.io.commit_round(
+            0, ["frontier", "seen_shards", "admitted", "hostcarry", "crawl_log"]
+        )
         for df in (flagged, *parents):
             df.unpersist()
         return counters
@@ -259,12 +303,15 @@ class CrawlEngine:
             return {"done": True, **counters}
 
         # --- politeness pop (bounded batch) ----------------------------
+        # budget = base + residual carry from the previous round (H1);
         # fetch_seq: distributed total order by (priority, url) — range
         # partition + per-partition rank + offsets, NEVER a global
         # single-partition window (tests/test_politeness.py asserts the
         # plan has no SinglePartition exchange).
+        carry = self.io.read_table(self.spark, "hostcarry", round_no - 1)
+        eff_budget = self._effective_budget(carry)
         batch, batch_parent = global_sequence(
-            pol.pop_batch(pending, self.hostbudget, self.salt),
+            pol.pop_batch(pending, eff_budget, self.salt),
             ["priority", "url"],
         )
 
@@ -357,8 +404,18 @@ class CrawlEngine:
             .alias("deferred_politeness"),
         )
         self.io.write_table(host_log, "host_log", round_no)
+        self.io.write_table(
+            self._new_carry(pend_h, done_h, eff_budget), "hostcarry", round_no
+        )
 
-        # --- frontier update (snapshot rewrite; Iceberg MERGE in prod) ---
+        # --- frontier update: MERGE-style partial rewrite ----------------
+        # The frontier is partitioned by discovered_round (BFS layer).  A
+        # round touches only the layers its batch popped from (priority =
+        # depth, so typically the current layer) plus the brand-new layer
+        # of this round's admissions — every other layer's files are
+        # carried forward by manifest reference, never rewritten.  This is
+        # the Iceberg row-level MERGE shape: per-round write cost is
+        # O(batch + admissions), not O(frontier).
         batch_done = fetched.select(
             "url", "host", "depth", "priority", "discovered_round",
             F.when(F.col("html").isNotNull(), F.lit("fetched"))
@@ -367,17 +424,25 @@ class CrawlEngine:
             F.lit(round_no).cast("long").alias("fetch_round"),
             "fetch_seq",
         )
-        new_frontier = (
-            frontier.join(batch_done.select("url"), "url", "left_anti")
+        touched = [
+            int(r["discovered_round"])
+            for r in batch_done.select("discovered_round").distinct().collect()
+        ]
+        rewritten = (
+            frontier.filter(F.col("discovered_round").isin(touched))
+            .join(batch_done.select("url"), "url", "left_anti")
             .unionByName(batch_done)
             .unionByName(self._frontier_rows(flagged, round_no))
         )
-        self.io.write_table(new_frontier, "frontier", round_no)
+        self.io.write_table_delta(
+            rewritten, "frontier", round_no,
+            "discovered_round", touched + [round_no], round_no - 1,
+        )
         self._write_counters(counters, round_no)
         self.io.commit_round(
             round_no,
-            ["frontier", "seen_shards", "admitted", "crawl_log", "extracted",
-             "metadata", "dead_letters", "host_log"],
+            ["frontier", "seen_shards", "admitted", "hostcarry", "crawl_log",
+             "extracted", "metadata", "dead_letters", "host_log"],
         )
         for df in (fetched, flagged, batch_parent, parsed, *parents):
             df.unpersist()
@@ -396,9 +461,6 @@ class CrawlEngine:
         ds = G.extract_gdal_metadata(ok, "asset_url")
         # B3: drop unopened datasets (geoparser.go:184)
         ds = ds.filter(F.col("proj_wkt") != "")
-        proj4_map = F.create_map(
-            *[F.lit(x) for kv in G.PROJ4_OF_WKT.items() for x in kv]
-        )
         meta = ds.select(
             "asset_url",
             F.lit(round_no).alias("round"),
@@ -406,7 +468,7 @@ class CrawlEngine:
             F.col("parse.fields").alias("filename_fields"),
             "file_type", "ds_name", "raster_count", "array_type",
             "x_size", "y_size", "proj_wkt", "geotransform",
-            F.coalesce(proj4_map[F.col("proj_wkt")], F.lit("")).alias("proj4"),
+            G.proj4_of_wkt_expr(F.col("proj_wkt")).alias("proj4"),
             polygon_wkt_expr(F.col("geotransform"), F.col("x_size"), F.col("y_size")).alias(
                 "polygon"
             ),
@@ -429,6 +491,17 @@ class CrawlEngine:
         if start_round is None:
             if self.io.latest_round() is None:
                 self.init_state()
+            else:
+                # resuming: the seen-state layout is config-dependent
+                # (shard routing / bloom geometry); a mismatched engine
+                # would silently re-admit seen URLs
+                want = self.io.get_meta("seen_config")
+                have = [self.mode, self.n_shards, self.m_bits, self.k]
+                if want is not None and want != have:
+                    raise ValueError(
+                        f"resume config mismatch: snapshot has {want}, "
+                        f"engine has {have}"
+                    )
             start_round = self.io.latest_round() + 1
         r = start_round
         while r < start_round + max_rounds:

@@ -49,12 +49,78 @@ UTMWKT = (
     'UNIT["metre",1],AUTHORITY["EPSG","32633"]]'
 )
 
-# stubbed OSRExportToProj4 (geolib/geom.go:79-85): literal lookup — the real
-# system would call pyproj; absent in this container.
-PROJ4_OF_WKT = {
-    WGS84WKT: "+proj=longlat +datum=WGS84 +no_defs ",
-    UTMWKT: "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs ",
-}
+# proj4 export (reference active path: poly.Proj4() per dataset,
+# geoparse/geoparser.go:203 -> OSRExportToProj4, geolib/geom.go:79-85).
+# No GDAL/pyproj in this container, so the export is DERIVED from the WKT:
+# extract the CRS's own EPSG authority code (the trailing
+# AUTHORITY["EPSG","<code>"]] token) with a regex — pure column logic —
+# then map code -> proj4 by rule: 4326 longlat, 326xx/327xx UTM north/south
+# (zone arithmetic), 3857 web mercator.  Unknown/absent codes yield "",
+# matching OSRExportToProj4's failure mode (err -> empty string).
+_EPSG_TAIL_RE = r'AUTHORITY\["EPSG","(\d+)"\]\]$'
+
+
+def epsg_of_wkt_expr(wkt: Column) -> Column:
+    """EPSG code of the WKT's root CRS (0 when absent)."""
+    code = F.regexp_extract(wkt, _EPSG_TAIL_RE, 1)
+    return F.when(code == "", F.lit(0)).otherwise(code.cast("int"))
+
+
+def proj4_of_epsg_expr(code: Column) -> Column:
+    utm_n = code - F.lit(32600)
+    utm_s = code - F.lit(32700)
+    return (
+        F.when(code == 4326, F.lit("+proj=longlat +datum=WGS84 +no_defs "))
+        .when(
+            (code >= 32601) & (code <= 32660),
+            F.format_string(
+                "+proj=utm +zone=%d +datum=WGS84 +units=m +no_defs ", utm_n
+            ),
+        )
+        .when(
+            (code >= 32701) & (code <= 32760),
+            F.format_string(
+                "+proj=utm +zone=%d +south +datum=WGS84 +units=m +no_defs ", utm_s
+            ),
+        )
+        .when(
+            code == 3857,
+            F.lit(
+                "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+                "+y_0=0 +k=1 +units=m +nadgrids=@null +wgs84=0,0,0,0,0,0,0 "
+                "+no_defs "
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+
+
+def proj4_of_wkt_expr(wkt: Column) -> Column:
+    return proj4_of_epsg_expr(epsg_of_wkt_expr(wkt))
+
+
+def epsg_of_wkt_py(wkt: str) -> int:
+    m = re.search(_EPSG_TAIL_RE, wkt)
+    return int(m.group(1)) if m else 0
+
+
+def proj4_of_wkt_py(wkt: str) -> str:
+    code = epsg_of_wkt_py(wkt)
+    if code == 4326:
+        return "+proj=longlat +datum=WGS84 +no_defs "
+    if 32601 <= code <= 32660:
+        return f"+proj=utm +zone={code - 32600} +datum=WGS84 +units=m +no_defs "
+    if 32701 <= code <= 32760:
+        return (
+            f"+proj=utm +zone={code - 32700} +south +datum=WGS84 +units=m +no_defs "
+        )
+    if code == 3857:
+        return (
+            "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+            "+y_0=0 +k=1 +units=m +nadgrids=@null +wgs84=0,0,0,0,0,0,0 "
+            "+no_defs "
+        )
+    return ""
 
 EXT_DRIVER = {
     "tif": "GTiff", "tiff": "GTiff", "nc": "netCDF",

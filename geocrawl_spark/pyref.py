@@ -24,7 +24,7 @@ from .assets import (
     resolve_href_py,
 )
 from .canon import canonicalize_url, host_of
-from .gdalmeta import PROJ4_OF_WKT, fake_gdal_file_py
+from .gdalmeta import fake_gdal_file_py, proj4_of_wkt_py
 from .geometry import polygon_wkt_py
 from .parsers import parse_name_py
 from .politeness import DEFAULT_BUDGET, robots_denied_py
@@ -48,11 +48,14 @@ class PyRefCrawl:
         n_shards: int = 8,
         m_bits: int = 1 << 23,
         k: int = 7,
+        carryover: bool = True,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
         self.robots = {r.host: list(r.disallow) for r in robots.itertuples()}
         self.budgets = {r.host: int(r.budget) for r in hostbudget.itertuples()}
+        self.carryover = carryover
+        self.carry: dict[str, int] = {}  # residual budget credit (H1)
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
         self.admitted: list[tuple[str, str]] = []
@@ -121,20 +124,26 @@ class PyRefCrawl:
             return None
         from .politeness import pop_batch_py
 
-        batch = pop_batch_py(pending, self.budgets)
-        batch.sort(key=lambda r: (r["priority"], r["url"]))
-        counters = {k: 0 for k in (
-            "fetched", "missing", "deferred_politeness", "deduped",
-            "robots_denied", "discovered", "assets_extracted", "dead_letters",
-        )}
-        counters["deferred_politeness"] = len(pending) - len(batch)
-
         per_host: dict[str, dict] = {}
         for r in pending:
             h = per_host.setdefault(
                 r["host"], {"n_pending": 0, "fetched": 0, "missing": 0}
             )
             h["n_pending"] += 1
+
+        # effective budget = base + residual carry (mirrors engine H1)
+        eff = {
+            h: self.budgets.get(h, DEFAULT_BUDGET)
+            + (self.carry.get(h, 0) if self.carryover else 0)
+            for h in per_host
+        }
+        batch = pop_batch_py(pending, eff)
+        batch.sort(key=lambda r: (r["priority"], r["url"]))
+        counters = {k: 0 for k in (
+            "fetched", "missing", "deferred_politeness", "deduped",
+            "robots_denied", "discovered", "assets_extracted", "dead_letters",
+        )}
+        counters["deferred_politeness"] = len(pending) - len(batch)
 
         cands: dict[str, tuple[int, str]] = {}
         for seq, row in enumerate(batch, start=1):
@@ -205,7 +214,7 @@ class PyRefCrawl:
                         "y_size": ds["y_size"],
                         "proj_wkt": ds["proj_wkt"],
                         "geotransform": ds["geotransform"],
-                        "proj4": PROJ4_OF_WKT.get(ds["proj_wkt"], ""),
+                        "proj4": proj4_of_wkt_py(ds["proj_wkt"]),
                         "polygon": polygon_wkt_py(
                             ds["geotransform"], ds["x_size"], ds["y_size"]
                         ),
@@ -213,6 +222,15 @@ class PyRefCrawl:
                     }
                 )
             counters["assets_extracted"] += emitted
+
+        if self.carryover:
+            new_carry = {}
+            for host, h in per_host.items():
+                base = self.budgets.get(host, DEFAULT_BUDGET)
+                c = min(eff[host] - h["fetched"] - h["missing"], base)
+                if c > 0:
+                    new_carry[host] = c
+            self.carry = new_carry
 
         for host, h in sorted(per_host.items()):
             self.host_log.append(

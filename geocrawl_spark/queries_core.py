@@ -422,12 +422,17 @@ def parts_with_orders_semi(spark, sf_dir):
     "customers_no_orders_anti",
     """
     select c_custkey, c_name from customer
-    where c_custkey not in (select o_custkey from orders)
+    where c_custkey not in (
+      select o_custkey from orders where o_orderdate >= date '2000-01-01')
     """,
 )
 def customers_no_orders_anti(spark, sf_dir):
+    """Anti-join with a non-vacuous result (customers quiet since 2000):
+    a 0-row anti would hash-match trivially and test nothing."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -530,6 +535,83 @@ def json_extract_events(spark, sf_dir):
             F.count("*").cast("long").alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+# A6: malformed-input tolerance (geoparse/geoparser.go:162-167 — a garbage
+# stdin line logs "Input not recognised" and CONTINUES).  Spark analog: a
+# PERMISSIVE from_csv with a corrupt-record column; bad rows become a
+# dead-letter bucket instead of failing the job.  The TSV lines are built
+# deterministically from the documents table (1-in-13 mangled).
+@_q(
+    "malformed_tsv_ingest",
+    """
+    select case when doc_id % 13 = 0 then '__corrupt__' else lang end
+             as lang_bucket,
+           count(*)::bigint as n,
+           sum(case when doc_id % 13 = 0 then 0 else n_chars end)::bigint
+             as sum_chars
+    from documents group by 1
+    """,
+)
+def malformed_tsv_ingest(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit("!garbage "), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    r = F.from_csv(
+        line,
+        "doc_id bigint, lang string, n_chars bigint, _bad string",
+        {"sep": "\t", "mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+    )
+    parsed = d.select(r.alias("r"))
+    bucket = F.when(
+        F.col("r._bad").isNotNull(), F.lit("__corrupt__")
+    ).otherwise(F.col("r.lang"))
+    return parsed.groupBy(bucket.alias("lang_bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("r.n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+    )
+
+
+# G8: to_json(struct)/from_json round-trip — the reference's wire format is
+# "path\tgdal\t{json}" (geoparse/geoparser.go:208-213, json.Marshal of the
+# nested GDALFile).  The oracle supplies the analytic values, proving
+# from_json(to_json(x)) == x field-for-field, including a nested struct and
+# a string-level get_json_object probe of the marshalled form.
+@_q(
+    "json_struct_roundtrip",
+    """
+    select doc_id, lang as lang_rt, n_chars as n_chars_rt,
+           source as source_js
+    from documents
+    """,
+)
+def json_struct_roundtrip(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    js = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.struct(F.col("n_chars"), F.col("source")).alias("m"),
+        )
+    )
+    rt = F.from_json(
+        js, "doc_id bigint, lang string, m struct<n_chars: bigint, source: string>"
+    )
+    return d.select(
+        "doc_id",
+        rt["lang"].alias("lang_rt"),
+        rt["m"]["n_chars"].alias("n_chars_rt"),
+        F.get_json_object(js, "$.m.source").alias("source_js"),
     )
 
 

@@ -73,6 +73,16 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+#: document-frequency cap for candidate generation: a shingle occurring in
+#: more than this many documents ("of the and of" class) produces quadratic
+#: candidate pairs in one join key, so it is excluded from candidate
+#: GENERATION (the true jaccard is still computed over the FULL shingle
+#: sets of each candidate pair).  Contract: a pair whose every shared
+#: shingle is hotter than the cap is not reported — the standard df-capping
+#: recall trade of web-scale dedup pipelines.  The oracle implements the
+#: identical algorithm, so both engines agree at every sf.
+_DF_CAP = 50
+
 @_q(
     "dedup_ngram_jaccard",
     f"""
@@ -80,9 +90,18 @@ def dedup_exact(spark, sf_dir):
       select doc_id, unnest({_SHINGLE_SQL}) as s from documents
     ),
     sizes as (select doc_id, count(*)::bigint as n from sh group by 1),
+    rare as (select s from sh group by s having count(*) <= {_DF_CAP}),
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from (select doc_id, s from sh where s in (select s from rare)) a
+      join (select doc_id, s from sh where s in (select s from rare)) b
+        on a.s = b.s and a.doc_id < b.doc_id
+    ),
     inter as (
-      select a.doc_id as doc_a, b.doc_id as doc_b, count(*)::bigint as i
-      from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+      select c.doc_a, c.doc_b, count(*)::bigint as i
+      from cand c
+        join sh x on x.doc_id = c.doc_a
+        join sh y on y.doc_id = c.doc_b and y.s = x.s
       group by 1, 2
     )
     select doc_a, doc_b, round(i / (na.n + nb.n - i), 4) as jaccard
@@ -93,18 +112,35 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard dedup, df-capped candidate generation (see _DF_CAP):
+    hot shingles never become join keys, so no single key fans out
+    quadratically; the exact jaccard is then verified on the full shingle
+    sets of the (bounded) candidate pairs only."""
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
-    ).persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("s")
+    )
+    capped = sh.join(rare, "s")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sx"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sy"))
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, (F.col("doc_b") == y["doc_b"]) & (F.col("sx") == F.col("sy")))
+        .groupBy("doc_a", cand["doc_b"])
         .agg(F.count("*").cast("long").alias("i"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
@@ -201,8 +237,15 @@ def _simhash_sql() -> str:
 
 @_q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: per-word md5-bit votes -> 16-bit signature ->
-    all-pairs hamming <= 2 (at scale: bucket by signature bands first)."""
+    """SimHash near-dup via pigeonhole banding — NO all-pairs join.
+
+    The 16-bit signature splits into 3 bands (6+5+5 bits); hamming <= 2
+    means at most 2 bands contain a differing bit, so every qualifying
+    pair shares at least one band verbatim.  Candidates therefore come
+    from an EQUI-join on (band_index, band_value); the full hamming
+    distance is then verified on the candidates only.  The result set is
+    provably identical to the all-pairs formulation (which the DuckDB
+    oracle keeps as the executable spec)."""
     d = _t(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
     votes = [
@@ -219,17 +262,36 @@ def dedup_simhash(spark, sf_dir):
         term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     sig = s.select("doc_id", sim.cast("long").alias("simhash"))
-    a = sig.alias("a")
-    b2 = sig.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b2, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ham <= 2)
+    # bands: bits [0,6) [6,11) [11,16) — ham<=2 ==> one band equal
+    band_vals = F.array(
+        sig["simhash"].bitwiseAND(F.lit(63)),
+        F.shiftright("simhash", 6).bitwiseAND(F.lit(31)),
+        F.shiftright("simhash", 11).bitwiseAND(F.lit(31)),
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.cast("long").alias("hamming"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
         )
+        .distinct()  # a pair can share >1 band
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.filter(ham <= 2)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
 
 
@@ -331,7 +393,7 @@ def sim_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
-    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e")))).persist()
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     cent = n.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
@@ -502,6 +564,12 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+#: hard fence for the all-pairs baseline below: it is the executable spec
+#: for dedup_embedding_bucketed, NOT a pipeline op — pointing it at a
+#: corpus larger than this is always a mistake (use the bucketed variant).
+_ALLPAIRS_MAX_VECS = 250_000
+
+
 @_q(
     "dedup_embedding_cosine",
     """
@@ -514,18 +582,94 @@ def multimodal_binary_meta(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup: all pairs above a similarity threshold
-    (the correctness baseline; at 100 TB the LSH/IVF bucketing above
-    replaces the all-pairs join)."""
+    """Embedding-cosine near-dup: all pairs above a similarity threshold.
+
+    FENCED correctness baseline (raises beyond _ALLPAIRS_MAX_VECS): the
+    plan is a cartesian join, O(n^2) by construction.  The pipeline
+    operator for real corpora is :func:`dedup_embedding_bucketed`
+    (IVF-bucketed, equi-join on cluster id)."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
+    n_vecs = e.count()
+    if n_vecs > _ALLPAIRS_MAX_VECS:
+        raise ValueError(
+            f"dedup_embedding_cosine is an all-pairs baseline fenced to "
+            f"{_ALLPAIRS_MAX_VECS} vectors (got {n_vecs}); use "
+            f"dedup_embedding_bucketed for real corpora"
+        )
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 3).alias("cos"))
+    )
+
+
+@_q(
+    "dedup_embedding_bucketed",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    n as (select vec_id, e, sqrt(list_dot_product(e, e)) as nrm from v),
+    cent as (select vec_id as cid, e as ce, nrm as cn from n where vec_id < 8),
+    assign as (
+      select vec_id, cid from (
+        select n.vec_id, cent.cid,
+               row_number() over (partition by n.vec_id
+                 order by round(list_dot_product(n.e, cent.ce) / (n.nrm * cent.cn), 6)
+                          desc, cent.cid) as rk
+        from n cross join cent) where rk = 1
+    ),
+    na as (select n.vec_id, e, nrm, a.cid from n join assign a using (vec_id))
+    select a.vec_id as vec_a, b.vec_id as vec_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 3) as cos
+    from na a join na b on a.cid = b.cid and a.vec_id < b.vec_id
+    where list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_bucketed(spark, sf_dir):
+    """Embedding near-dup as a PIPELINE op: IVF-bucket first (nearest of 8
+    deterministic centroids, broadcast), then pairs only WITHIN a bucket —
+    an equi-join on cluster id, never a cartesian.  Recall contract: a
+    near-dup pair split across two clusters is missed (standard IVF trade;
+    raise n_probe / centroid count to tighten).  The all-pairs spec it
+    approximates is :func:`dedup_embedding_cosine`."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    cent = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6).alias(
+            "c_cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    na = n.join(assign, "vec_id")
+    a = na.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("n_a"), "cid",
+    )
+    b = na.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("n_b"), "cid",
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 3).alias("cos"))
     )

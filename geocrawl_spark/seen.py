@@ -301,6 +301,60 @@ def init_hashes(spark) -> DataFrame:
     return spark.range(0).select(F.xxhash64(F.col("id").cast("string")).alias("h1"))
 
 
+def create_bucketed_seen_table(
+    spark, name: str = "seen_hashes", n_buckets: int = 64, df: DataFrame | None = None
+) -> None:
+    """Materialize the seen-hash set as a BUCKETED catalog table — the
+    production storage layout of the anti-join strategy (Iceberg
+    ``bucket(N, h1)`` partitioning on a real deployment)."""
+    (df if df is not None else init_hashes(spark)).write.bucketBy(
+        n_buckets, "h1"
+    ).sortBy("h1").mode("overwrite").saveAsTable(name)
+
+
+def filter_and_update_anti_bucketed(
+    candidates: DataFrame,
+    spark,
+    table: str = "seen_hashes",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The anti-join strategy against PERSISTENT bucketed storage — the
+    form that survives 10^10 URLs.
+
+    :func:`filter_and_update_anti` holds the seen set as an in-memory
+    DataFrame, so Catalyst reshuffles BOTH join sides every round and the
+    shuffle grows with the crawl.  Here the seen set lives in a table
+    bucketed by h1 (``create_bucketed_seen_table``): the sort-merge
+    anti-join reads the seen side bucket-local with NO Exchange — only
+    the bounded candidate batch shuffles (once, to the bucket layout) —
+    and the state update APPENDS the fresh h1 rows into their buckets
+    instead of rewriting anything.  Per-round cost: one O(candidates)
+    shuffle + one parallel scan of the seen table + one O(fresh) append.
+    tests/test_seen.py asserts the no-exchange-on-seen-side plan shape.
+
+    Returns fresh (url, depth, kind, h1), locally checkpointed BEFORE the
+    append: inserting into the table refreshes/invalidates plans that
+    scan it, so the lineage must be cut or the caller's reads would
+    re-run the anti-join against the already-updated table.
+    """
+    if "kind" not in candidates.columns:
+        candidates = candidates.withColumn("kind", F.lit("page"))
+    cand = candidates.select("url", "depth", "kind").withColumn(
+        "h1", F.xxhash64("url")
+    )
+    w_cand = (
+        cand.repartition(n_buckets, "h1")
+        .groupBy("h1")
+        .agg(F.min(F.struct("depth", "url", "kind")).alias("s"))
+        .select("h1", "s.url", "s.depth", "s.kind")
+    )
+    fresh = w_cand.join(spark.table(table), "h1", "left_anti").localCheckpoint(
+        eager=True
+    )
+    fresh.select("h1").write.mode("append").insertInto(table)
+    return fresh
+
+
 # ---------------------------------------------------------------------------
 # JVM-only strategy: distributed Bloom bitmap stored as (word_id, bits) rows
 # ---------------------------------------------------------------------------

@@ -201,6 +201,22 @@ def test_seen_modes_match_exact(spark, fixtures, tmp_path_factory, pyref_run, mo
     assert all(got[r] == want[r] for r in got) and len(got) > 3
 
 
+def test_budget_carryover_changes_ordering(fixtures, pyref_run):
+    """H1 residual-budget carryover is LIVE: disabling it in the oracle
+    produces a different crawl ordering on this fixture (a host that
+    under-used its budget in round k pops more in round k+1), while the
+    engine (always carryover) matches the carryover oracle exactly via
+    the golden tests above."""
+    ref_nocarry = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], fixtures["robots"], fixtures["budget"],
+        carryover=False,
+    )
+    ref_nocarry.run(max_rounds=50)
+    assert ref_nocarry.crawl_order != pyref_run.crawl_order
+    # same final coverage, different schedule
+    assert ref_nocarry.seen_urls() == pyref_run.seen_urls()
+
+
 def test_kill_resume_identical(spark, fixtures, tmp_path_factory, spark_run, pyref_run):
     """Kill after round 2, resume — identical final ordering (H4)."""
     eng = _mk_engine(spark, fixtures, tmp_path_factory.mktemp("crawlr"))

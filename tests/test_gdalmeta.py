@@ -113,3 +113,36 @@ def test_polygon_corner_math():
         "POLYGON ((10.000000 60.000000,10.000000 10.000000,"
         "60.000000 10.000000,60.000000 60.000000,10.000000 60.000000))"
     )
+
+
+def test_proj4_derived_from_wkt_epsg(spark):
+    """proj4 export is DERIVED (EPSG regex + zone arithmetic), not a
+    whole-string lookup: WKTs absent from any literal table still export
+    (reference active path: geoparse/geoparser.go:203 poly.Proj4())."""
+    from geocrawl_spark.gdalmeta import (
+        UTMWKT,
+        WGS84WKT,
+        proj4_of_wkt_expr,
+        proj4_of_wkt_py,
+    )
+
+    utm17s = UTMWKT.replace('"32633"', '"32717"').replace("zone 33N", "zone 17S")
+    webmerc = UTMWKT.replace('"32633"', '"3857"')
+    no_authority = 'GEOGCS["WGS 84",DATUM["WGS_1984"]]'
+    cases = [WGS84WKT, UTMWKT, utm17s, webmerc, no_authority, ""]
+    want = [
+        "+proj=longlat +datum=WGS84 +no_defs ",
+        "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs ",
+        "+proj=utm +zone=17 +south +datum=WGS84 +units=m +no_defs ",
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+        "+y_0=0 +k=1 +units=m +nadgrids=@null +wgs84=0,0,0,0,0,0,0 "
+        "+no_defs ",
+        "",
+        "",
+    ]
+    assert [proj4_of_wkt_py(w) for w in cases] == want
+    df = spark.createDataFrame([(w,) for w in cases], "wkt string")
+    got = [
+        r["p"] for r in df.select(proj4_of_wkt_expr(F.col("wkt")).alias("p")).collect()
+    ]
+    assert got == want
