@@ -12,9 +12,14 @@ politeness pop; only raw URL-string generation is excluded (persisted
 before the clock).
 
 Seen-filter ``strategy`` (see geocrawl_spark/seen.py):
-- bitword  — pure-JVM bloom bitmap as (word_id, bits) rows; the
-             10^10-scale design AND zero Python crossings (HEADLINE);
-- anti     — pure-JVM exact xxhash64 anti-join;
+- bitword  — pure-JVM bloom bitmap as (word_id, bits) rows; zero Python
+             crossings;
+- anti     — pure-JVM exact xxhash64 anti-join (in-memory seen set);
+- abucket  — the anti-join against a PERSISTENT bucketed seen table
+             pre-populated with as many hashes as the round has
+             candidates: the storage-partitioned-join form that survives
+             10^10 URLs (seen side never reshuffles; update is a bucket
+             append) — HEADLINE;
 - bloom    — sharded-blob cogroup (one Arrow crossing each way).
 
 Also times every queries() entry at $SPARK_GRAFT_SF_DIR (default sf0.1).
@@ -43,6 +48,7 @@ from geocrawl_spark.session import get_spark  # noqa: E402
 
 N_FRONTIER = int(os.environ.get("BENCH_FRONTIER_URLS", 2_000_000))
 N_HOSTS = 1000
+N_BUCKETS = 64  # seen-table buckets for the abucket strategy
 # 4x the max core count: balances cogroup tasks and keeps per-task pandas
 # overhead low (measured: 32 shards @ local[32] = 34s, 128 shards = 10s)
 N_SHARDS = 128
@@ -109,12 +115,20 @@ def frontier_round(
         .otherwise(F.array().cast("array<string>"))
         .alias("disallow"),
     )
-    # empty pre-round seen state per strategy (bloom sized for this round's
+    # pre-round seen state per strategy (bloom sized for this round's
     # volume; production sizing notes in seen.py)
     shards = S.init_shards(spark, "bloom", N_SHARDS, 1 << 24, 7)
     seen_hashes = S.init_hashes(spark)
     bitmap = S.init_bitmap(spark)
     bit_m = _bitword_m_bits(n)
+    if strategy == "abucket":
+        # persistent bucketed seen table, pre-populated with n prior URLs
+        # (disjoint hash domain) — the round's anti-join runs against REAL
+        # grown state, not an empty set, and never reshuffles it
+        preseen = spark.range(n).select(
+            F.xxhash64(F.format_string("preseen-%d", F.col("id"))).alias("h1")
+        )
+        S.create_bucketed_seen_table(spark, "bench_seen", N_BUCKETS, preseen)
 
     t0 = time.time()
     frontier = raw.select(
@@ -124,6 +138,11 @@ def frontier_round(
         fresh, new_state, _stats, _parent = S.filter_and_update_anti(
             frontier, seen_hashes
         )
+    elif strategy == "abucket":
+        fresh = S.filter_and_update_anti_bucketed(
+            frontier, spark, "bench_seen", N_BUCKETS
+        )
+        new_state = None
     elif strategy == "bitword":
         fresh, new_state, _stats, _parent = S.filter_and_update_bitmap(
             frontier, bitmap, bit_m, _BITWORD_K
@@ -145,11 +164,16 @@ def frontier_round(
     n_batch = batch.count()
     if strategy == "bloom":
         n_state = new_state.select(F.sum("n_items")).collect()[0][0]
+    elif strategy == "abucket":
+        # the bucket append already ran inside filter_and_update_anti_bucketed
+        n_state = spark.table("bench_seen").count()
     else:
         n_state = new_state.count()  # materializes the state update too
     dt = time.time() - t0
     assert n_batch > 0 and n_state > 0
     raw.unpersist()
+    if strategy == "abucket":
+        fresh.unpersist()
     if strategy in ("anti", "bitword"):
         _parent.unpersist()
     return dt, n
@@ -158,19 +182,28 @@ def frontier_round(
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     run_queries = os.environ.get("BENCH_QUERIES", "1") != "0"
-    spark = get_spark(app_name="geocrawl-bench")
+    import tempfile
+
+    spark = get_spark(
+        app_name="geocrawl-bench",
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="geocrawl-bench-wh-")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}
-    strategies = os.environ.get("BENCH_STRATEGIES", "bitword,anti,bloom").split(",")
+    strategies = os.environ.get(
+        "BENCH_STRATEGIES", "abucket,bitword,anti,bloom"
+    ).split(",")
     per_strategy: dict[str, float] = {}
     for strat in strategies:
         dt, n = frontier_round(spark, strategy=strat)
-        key = "frontier_round" if strat == "bitword" else f"frontier_round_{strat}"
+        key = "frontier_round" if strat == "abucket" else f"frontier_round_{strat}"
         queries[key] = round(dt, 3)
         per_strategy[strat] = round(n / dt, 1)
-    # headline = the 10^10-viable pure-JVM bloom bitmap strategy
-    urls_per_sec = per_strategy.get("bitword") or next(iter(per_strategy.values()))
+    # headline = the 10^10-viable bucketed-storage anti-join
+    urls_per_sec = per_strategy.get("abucket") or next(iter(per_strategy.values()))
 
     if run_queries:
         from __spark_entry__ import queries as q_entries
@@ -188,7 +221,7 @@ def main():
         "metric": "frontier_urls_per_sec",
         "value": round(urls_per_sec, 1),
         "unit": "urls/sec",
-        "strategy": "bitword" if "bitword" in per_strategy else strategies[0],
+        "strategy": "abucket" if "abucket" in per_strategy else strategies[0],
         "total_sec": total,
         "frontier_urls": N_FRONTIER,
         "urls_per_sec_by_strategy": per_strategy,

@@ -74,49 +74,46 @@ SEEN_MODES = ("exact", "bloom", "anti", "bitword")
 
 
 def global_sequence(
-    df: DataFrame, order_cols: list[str], seq_col: str = "fetch_seq",
-    n_parts: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    df: DataFrame, order_cols: list[str], scratch_path: str,
+    seq_col: str = "fetch_seq", n_parts: int | None = None,
+) -> DataFrame:
     """Distributed total-order rank by ``order_cols`` (assumed unique).
 
     Replaces the single-partition ``row_number().over(Window.orderBy(...))``
-    anti-pattern: range-partition on the order columns, rank within each
-    partition, add per-partition offsets.  The offsets come from a tiny
-    (<= n_parts rows) count collect — driver metadata, like AQE stats —
-    so NO stage funnels the data through one task.  The result is
-    boundary-independent (the global rank of a row does not depend on
-    where Spark's range sampler cuts), hence deterministic.
-
-    Returns (df_with_seq, persisted_parent); caller unpersists the
-    parent after consuming the result.
+    anti-pattern: range-partition on the order columns and WRITE the
+    result to parquet (one file per range partition, range order == file
+    name order), then rank within each file and add per-file offsets from
+    a tiny (<= n_parts rows) count collect.  No stage funnels the data
+    through one task, and — because every downstream action reads the
+    immutable files and keys the windows/offsets on input_file_name(),
+    never on runtime partition identity — the assigned ranks cannot
+    change under cache eviction, task retry, or recomputation.  (An
+    earlier cache-based variant collected offsets keyed by
+    spark_partition_id; a recompute between the two actions could
+    reshuffle rows across pids and silently corrupt the sequence.)
     """
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    b = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    df.repartitionByRange(n_parts, *order_cols).write.mode("overwrite").parquet(
+        scratch_path
     )
-    counts = sorted(
-        (r["_pid"], r["n"])
-        for r in b.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    )
+    b = spark.read.parquet(scratch_path).withColumn("_file", F.input_file_name())
+    counts = {
+        r["_file"]: r["n"]
+        for r in b.groupBy("_file").agg(F.count("*").alias("n")).collect()
+    }
     if not counts:
-        return b.drop("_pid").withColumn(seq_col, F.lit(None).cast("long")), b
+        return b.drop("_file").withColumn(seq_col, F.lit(None).cast("long"))
     offsets, acc = {}, 0
-    for pid, n in counts:
-        offsets[pid] = acc
-        acc += n
+    for fname in sorted(counts):  # part-00000 < part-00001 == range order
+        offsets[fname] = acc
+        acc += counts[fname]
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = (
-        b.withColumn(
-            seq_col,
-            (F.row_number().over(w) + F.element_at(off_map, F.col("_pid"))).cast("long"),
-        )
-        .drop("_pid")
-    )
-    return out, b
+    w = Window.partitionBy("_file").orderBy(*order_cols)
+    return b.withColumn(
+        seq_col,
+        (F.row_number().over(w) + F.element_at(off_map, F.col("_file"))).cast("long"),
+    ).drop("_file")
 
 
 class CrawlEngine:
@@ -133,6 +130,7 @@ class CrawlEngine:
         salt: int = pol.DEFAULT_SALT,
         m_bits: int = 1 << 23,
         k: int = 7,
+        round_cap: int | None = None,
     ):
         self.spark = spark
         self.pages = pages.persist()
@@ -143,6 +141,12 @@ class CrawlEngine:
         self.mode, self.n_shards, self.salt, self.m_bits, self.k = (
             mode, n_shards, salt, m_bits, k,
         )
+        #: E3 global per-round batch ceiling (ORDER BY priority LIMIT n):
+        #: per-host budgets alone let a frontier with 10M hosts fetch
+        #: 10M x budget pages in one round; the cap bounds the round
+        #: globally.  Applied as fetch_seq <= cap — the distributed rank
+        #: makes the global LIMIT free.
+        self.round_cap = round_cap
 
     # ------------------------------------------------------------------
     def _init_seen_state(self) -> DataFrame:
@@ -310,10 +314,13 @@ class CrawlEngine:
         # plan has no SinglePartition exchange).
         carry = self.io.read_table(self.spark, "hostcarry", round_no - 1)
         eff_budget = self._effective_budget(carry)
-        batch, batch_parent = global_sequence(
+        batch = global_sequence(
             pol.pop_batch(pending, eff_budget, self.salt),
             ["priority", "url"],
+            self.io._table_path("batch", round_no),
         )
+        if self.round_cap is not None:
+            batch = batch.filter(F.col("fetch_seq") <= self.round_cap)
 
         # --- fetch (join the pages table) -------------------------------
         fetched = batch.join(
@@ -444,7 +451,7 @@ class CrawlEngine:
             ["frontier", "seen_shards", "admitted", "hostcarry", "crawl_log",
              "extracted", "metadata", "dead_letters", "host_log"],
         )
-        for df in (fetched, flagged, batch_parent, parsed, *parents):
+        for df in (fetched, flagged, parsed, *parents):
             df.unpersist()
         return {"done": False, **counters}
 

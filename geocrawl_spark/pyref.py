@@ -49,6 +49,7 @@ class PyRefCrawl:
         m_bits: int = 1 << 23,
         k: int = 7,
         carryover: bool = True,
+        round_cap: int | None = None,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
@@ -56,6 +57,7 @@ class PyRefCrawl:
         self.budgets = {r.host: int(r.budget) for r in hostbudget.itertuples()}
         self.carryover = carryover
         self.carry: dict[str, int] = {}  # residual budget credit (H1)
+        self.round_cap = round_cap  # E3 global per-round batch ceiling
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
         self.admitted: list[tuple[str, str]] = []
@@ -139,6 +141,8 @@ class PyRefCrawl:
         }
         batch = pop_batch_py(pending, eff)
         batch.sort(key=lambda r: (r["priority"], r["url"]))
+        if self.round_cap is not None:
+            batch = batch[: self.round_cap]
         counters = {k: 0 for k in (
             "fetched", "missing", "deferred_politeness", "deduped",
             "robots_denied", "discovered", "assets_extracted", "dead_letters",

@@ -135,12 +135,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sx"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sy"))
+    x = sh.select(F.col("doc_id").alias("xa"), F.col("s").alias("sx"))
+    y = sh.select(F.col("doc_id").alias("yb"), F.col("s").alias("sy"))
     inter = (
-        cand.join(x, "doc_a")
-        .join(y, (F.col("doc_b") == y["doc_b"]) & (F.col("sx") == F.col("sy")))
-        .groupBy("doc_a", cand["doc_b"])
+        cand.join(x, F.col("doc_a") == F.col("xa"))
+        .join(y, (F.col("doc_b") == F.col("yb")) & (F.col("sx") == F.col("sy")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("i"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))

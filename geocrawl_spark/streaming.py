@@ -34,6 +34,29 @@ def read_page_stream(spark, path: str, max_files_per_trigger: int = 4) -> DataFr
     )
 
 
+TSV_LINE_SCHEMA = "url string, warc_ts timestamp, lang string, _bad string"
+
+
+def read_tsv_line_stream(
+    spark, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """A6 analog on the streaming side: raw TSV lines parsed PERMISSIVEly —
+    a malformed line becomes a row with ``_bad`` set (the dead-letter
+    bucket) instead of failing the stream, exactly the reference's
+    "Input not recognised" + continue (geoparse/geoparser.go:162-167).
+    """
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    rec = F.from_csv(
+        F.col("value"),
+        TSV_LINE_SCHEMA,
+        {"sep": "\t", "mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+    )
+    return lines.select(rec.alias("r")).select("r.*")
+
+
 def host_arrival_metrics(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked per-host, per-hour arrival counts + byte volume.
 

@@ -23,7 +23,7 @@ def run_at(cpus: int, n_urls: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_QUERIES"] = "0"
     env["BENCH_FRONTIER_URLS"] = str(n_urls)
-    env.setdefault("BENCH_STRATEGIES", "bitword")
+    env.setdefault("BENCH_STRATEGIES", "abucket")
     env.setdefault("BENCH_REPEAT", "3")  # best-of-3 (noisy shared host)
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     # pin the N-core run to N hardware threads so its JVM/GC/shuffle

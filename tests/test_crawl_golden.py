@@ -201,6 +201,34 @@ def test_seen_modes_match_exact(spark, fixtures, tmp_path_factory, pyref_run, mo
     assert all(got[r] == want[r] for r in got) and len(got) > 3
 
 
+def test_round_cap_matches_pyref(spark, fixtures, tmp_path_factory, pyref_run):
+    """E3 global per-round batch ceiling: engine == pyref under the same
+    cap, the cap actually binds (more deferrals, more rounds), and the
+    final coverage is unchanged."""
+    cap = 7
+    ref = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], fixtures["robots"], fixtures["budget"],
+        round_cap=cap,
+    )
+    ref.run(max_rounds=60)
+    eng = CrawlEngine(
+        spark,
+        pages=spark.createDataFrame(
+            fixtures["pages"],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ),
+        seeds=spark.createDataFrame(fixtures["seeds"]),
+        robots=spark.createDataFrame(fixtures["robots"], "host string, disallow array<string>"),
+        hostbudget=spark.createDataFrame(fixtures["budget"]),
+        base_dir=str(tmp_path_factory.mktemp("crawl_cap")),
+        n_shards=4, salt=4, m_bits=1 << 18, k=7, round_cap=cap,
+    )
+    eng.run(max_rounds=60)
+    assert eng.crawl_order() == ref.crawl_order
+    assert eng.seen_urls() == pyref_run.seen_urls()  # same coverage
+    assert len(ref.counters_log) > len(pyref_run.counters_log)  # cap binds
+
+
 def test_budget_carryover_changes_ordering(fixtures, pyref_run):
     """H1 residual-budget carryover is LIVE: disabling it in the oracle
     produces a different crawl ordering on this fixture (a host that

@@ -88,9 +88,10 @@ def test_robots_both_dialects(spark):
     assert got == [w for _, _, w in cases]
 
 
-def test_global_sequence_matches_global_sort(spark):
+def test_global_sequence_matches_global_sort(spark, tmp_path):
     """Distributed fetch_seq rank == the naive single-partition global
-    window, and its physical plan contains NO SinglePartition exchange."""
+    window, its physical plan contains NO SinglePartition exchange, and
+    repeated reads give identical ranks (file-anchored, recompute-proof)."""
     import pandas as pd
 
     from geocrawl_spark.frontier import global_sequence
@@ -102,7 +103,7 @@ def test_global_sequence_matches_global_sort(spark):
         }
     )
     df = spark.createDataFrame(pdf, "priority long, url string")
-    out, parent = global_sequence(df, ["priority", "url"], n_parts=16)
+    out = global_sequence(df, ["priority", "url"], str(tmp_path / "b"), n_parts=16)
     got = {
         r["url"]: r["fetch_seq"]
         for r in out.select("url", "fetch_seq").collect()
@@ -117,15 +118,16 @@ def test_global_sequence_matches_global_sort(spark):
     assert got == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
-    parent.unpersist()
+    # second action re-reads the immutable files -> identical ranks
+    got2 = {r["url"]: r["fetch_seq"] for r in out.collect()}
+    assert got2 == want
 
 
-def test_global_sequence_empty(spark):
+def test_global_sequence_empty(spark, tmp_path):
     from geocrawl_spark.frontier import global_sequence
 
     df = spark.range(0).select(
         F.col("id").alias("priority"), F.col("id").cast("string").alias("url")
     )
-    out, parent = global_sequence(df, ["priority", "url"])
+    out = global_sequence(df, ["priority", "url"], str(tmp_path / "b"))
     assert out.count() == 0 and "fetch_seq" in out.columns
-    parent.unpersist()

@@ -64,3 +64,35 @@ def test_host_arrival_metrics(spark, tmp_path):
     )
     assert got.count() <= batch.count()
     assert got.select(F.sum("n_pages")).collect()[0][0] is not None
+
+
+def test_tsv_line_stream_permissive(spark, tmp_path):
+    """A6 streaming analog: malformed TSV lines flow through as dead-letter
+    rows (_bad set) instead of killing the stream."""
+    from geocrawl_spark.streaming import read_tsv_line_stream
+
+    src = tmp_path / "tsv"
+    src.mkdir()
+    good = [
+        f"http://h{i}.org/p.html\t2024-01-01 00:0{i}:00\ten" for i in range(5)
+    ]
+    bad = ["!garbage line", "also not\ta timestamp\there"]
+    (src / "part1.txt").write_text("\n".join(good[:3] + bad[:1]) + "\n")
+    (src / "part2.txt").write_text("\n".join(good[3:] + bad[1:]) + "\n")
+
+    out = str(tmp_path / "out")
+    q = (
+        read_tsv_line_stream(spark, str(src))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    assert got.filter(F.col("_bad").isNotNull()).count() == 2
+    ok = got.filter(F.col("_bad").isNull())
+    assert ok.count() == 5 and ok.filter(F.col("warc_ts").isNull()).count() == 0
