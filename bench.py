@@ -139,7 +139,7 @@ def frontier_round(
             frontier, seen_hashes
         )
     elif strategy == "abucket":
-        fresh = S.filter_and_update_anti_bucketed(
+        fresh, _append = S.filter_and_update_anti_bucketed(
             frontier, spark, "bench_seen", N_BUCKETS
         )
         new_state = None
@@ -165,7 +165,8 @@ def frontier_round(
     if strategy == "bloom":
         n_state = new_state.select(F.sum("n_items")).collect()[0][0]
     elif strategy == "abucket":
-        # the bucket append already ran inside filter_and_update_anti_bucketed
+        # state update: append fresh hashes AFTER the pop consumed fresh
+        _append()
         n_state = spark.table("bench_seen").count()
     else:
         n_state = new_state.count()  # materializes the state update too

@@ -531,15 +531,16 @@ class CrawlEngine:
         return [(r["fetch_round"], r["fetch_seq"], r["url"]) for r in rows]
 
     def seen_urls(self) -> list[str]:
-        m = self.io._read_manifest()
-        urls = set()
-        for r in m["committed"]:
-            try:
-                df = self.io.read_table(self.spark, "admitted", r)
-            except Exception:
-                continue
-            urls.update(x["url"] for x in df.select("url").collect())
-        return sorted(urls)
+        """Test/debug helper — returns a driver-side list by design (golden
+        equality checks need Python values); the union+distinct runs as ONE
+        distributed job, only the final sorted result is collected."""
+        df = read_all_rounds(self.spark, self.io, "admitted")
+        if df is None:
+            return []
+        return [
+            r["url"]
+            for r in df.select("url").distinct().orderBy("url").collect()
+        ]
 
 
 def read_all_rounds(spark: SparkSession, io: TableIO, name: str) -> DataFrame | None:

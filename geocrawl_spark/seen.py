@@ -91,7 +91,10 @@ def _contains(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 def _insert(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> bytes:
     mode, data, m_bits, k = _decode(blob)
     if mode == "exact":
-        merged = np.sort(np.concatenate([data, h1.astype(np.uint64)]))
+        # data is already sorted — merge the (small) fresh batch in at
+        # O(S + B log B) instead of re-sorting the whole blob
+        add = np.sort(h1.astype(np.uint64))
+        merged = np.insert(data, np.searchsorted(data, add), add)
         return EXACT_MAGIC + merged.tobytes()
     bits = data.copy()
     for i in range(k):
@@ -306,10 +309,14 @@ def create_bucketed_seen_table(
 ) -> None:
     """Materialize the seen-hash set as a BUCKETED catalog table — the
     production storage layout of the anti-join strategy (Iceberg
-    ``bucket(N, h1)`` partitioning on a real deployment)."""
-    (df if df is not None else init_hashes(spark)).write.bucketBy(
-        n_buckets, "h1"
-    ).sortBy("h1").mode("overwrite").saveAsTable(name)
+    ``bucket(N, h1)`` partitioning on a real deployment).  The input is
+    pre-repartitioned to the bucket hash so every bucket lands in exactly
+    ONE sorted file (the compacted state — appends add files per bucket;
+    real Iceberg re-compacts periodically)."""
+    src = df if df is not None else init_hashes(spark)
+    src.repartition(n_buckets, "h1").write.bucketBy(n_buckets, "h1").sortBy(
+        "h1"
+    ).mode("overwrite").saveAsTable(name)
 
 
 def filter_and_update_anti_bucketed(
@@ -332,10 +339,14 @@ def filter_and_update_anti_bucketed(
     shuffle + one parallel scan of the seen table + one O(fresh) append.
     tests/test_seen.py asserts the no-exchange-on-seen-side plan shape.
 
-    Returns fresh (url, depth, kind, h1), locally checkpointed BEFORE the
-    append: inserting into the table refreshes/invalidates plans that
-    scan it, so the lineage must be cut or the caller's reads would
-    re-run the anti-join against the already-updated table.
+    Returns (fresh(h1, url, depth, kind) PERSISTED, append_fn).  The
+    caller must materialize every read of ``fresh`` BEFORE invoking
+    ``append_fn()``: inserting into the table invalidates cached plans
+    that scan it, so a read issued after the append would re-run the
+    anti-join against the already-updated table and see nothing fresh.
+    (A localCheckpoint would remove that ordering requirement but
+    measurably doubles the round cost — it materializes the full fresh
+    set into block storage.)  Caller unpersists ``fresh`` when done.
     """
     if "kind" not in candidates.columns:
         candidates = candidates.withColumn("kind", F.lit("page"))
@@ -348,11 +359,12 @@ def filter_and_update_anti_bucketed(
         .agg(F.min(F.struct("depth", "url", "kind")).alias("s"))
         .select("h1", "s.url", "s.depth", "s.kind")
     )
-    fresh = w_cand.join(spark.table(table), "h1", "left_anti").localCheckpoint(
-        eager=True
-    )
-    fresh.select("h1").write.mode("append").insertInto(table)
-    return fresh
+    fresh = w_cand.join(spark.table(table), "h1", "left_anti").persist()
+
+    def append_fn() -> None:
+        fresh.select("h1").write.mode("append").insertInto(table)
+
+    return fresh, append_fn
 
 
 # ---------------------------------------------------------------------------

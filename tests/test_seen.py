@@ -99,16 +99,18 @@ def test_anti_bucketed_matches_and_never_shuffles_seen_side(spark):
         pd.DataFrame({"url": first, "depth": [1] * len(first)}),
         "url string, depth long",
     )
-    fresh1 = filter_and_update_anti_bucketed(c1, spark, "t_seen_bkt", 8)
+    fresh1, append1 = filter_and_update_anti_bucketed(c1, spark, "t_seen_bkt", 8)
     assert sorted(r["url"] for r in fresh1.collect()) == sorted(f1)
+    append1()
     fresh1.unpersist()
 
     c2 = spark.createDataFrame(
         pd.DataFrame({"url": second, "depth": [2] * len(second)}),
         "url string, depth long",
     )
-    fresh2 = filter_and_update_anti_bucketed(c2, spark, "t_seen_bkt", 8)
+    fresh2, append2 = filter_and_update_anti_bucketed(c2, spark, "t_seen_bkt", 8)
     assert sorted(r["url"] for r in fresh2.collect()) == sorted(f2)
+    append2()
     assert spark.table("t_seen_bkt").count() == 500
 
     # plan shape: exactly one Exchange (candidates), bucketed seen scan.
