@@ -164,13 +164,17 @@ def frontier_round(
     n_batch = batch.count()
     if strategy == "bloom":
         n_state = new_state.select(F.sum("n_items")).collect()[0][0]
+        dt = time.time() - t0
     elif strategy == "abucket":
         # state update: append fresh hashes AFTER the pop consumed fresh
+        # (insertInto is eager — the write completes inside the clock);
+        # the full-table recount below is verification, not round work
         _append()
-        n_state = spark.table("bench_seen").count()
+        dt = time.time() - t0
+        n_state = spark.table("bench_seen").count() - n
     else:
         n_state = new_state.count()  # materializes the state update too
-    dt = time.time() - t0
+        dt = time.time() - t0
     assert n_batch > 0 and n_state > 0
     raw.unpersist()
     if strategy == "abucket":
