@@ -34,6 +34,8 @@ spark = get_spark(
     extra_conf={
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": os.environ["GC_EVDIR"],
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
         "spark.sql.warehouse.dir": os.environ["GC_WHDIR"],
     },
 )
@@ -67,12 +69,20 @@ def run_level(cpus: int, strategy: str, n_urls: int) -> dict:
 
     cpu_ms = run_ms = 0
     shuffle_write = shuffle_read = 0
-    for path in glob.glob(os.path.join(evdir, "*")):
+    # Spark 4 event logs can be rolling DIRECTORIES (eventlog_v2_*) of files
+    paths = [
+        p
+        for p in glob.glob(os.path.join(evdir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    for path in paths:
         with open(path, errors="replace") as f:
             for raw in f:
                 try:
                     ev = json.loads(raw)
                 except json.JSONDecodeError:
+                    continue
+                if not isinstance(ev, dict):
                     continue
                 if ev.get("Event") != "SparkListenerTaskEnd":
                     continue
