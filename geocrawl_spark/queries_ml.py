@@ -90,19 +90,24 @@ _DF_CAP = 50
       select doc_id, unnest({_SHINGLE_SQL}) as s from documents
     ),
     sizes as (select doc_id, count(*)::bigint as n from sh group by 1),
-    rare as (select s from sh group by s having count(*) <= {_DF_CAP}),
-    cand as (
-      select distinct a.doc_id as doc_a, b.doc_id as doc_b
-      from (select doc_id, s from sh where s in (select s from rare)) a
-      join (select doc_id, s from sh where s in (select s from rare)) b
-        on a.s = b.s and a.doc_id < b.doc_id
+    hot as (select s from sh group by s having count(*) > {_DF_CAP}),
+    shr as (select doc_id, s from sh where s not in (select s from hot)),
+    shh as (select doc_id, s from sh where s in (select s from hot)),
+    inter_rare as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*)::bigint as ir
+      from shr a join shr b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    inter_hot as (
+      select c.doc_a, c.doc_b, count(*)::bigint as ih
+      from inter_rare c
+        join shh x on x.doc_id = c.doc_a
+        join shh y on y.doc_id = c.doc_b and y.s = x.s
+      group by 1, 2
     ),
     inter as (
-      select c.doc_a, c.doc_b, count(*)::bigint as i
-      from cand c
-        join sh x on x.doc_id = c.doc_a
-        join sh y on y.doc_id = c.doc_b and y.s = x.s
-      group by 1, 2
+      select r.doc_a, r.doc_b, r.ir + coalesce(h.ih, 0) as i
+      from inter_rare r left join inter_hot h using (doc_a, doc_b)
     )
     select doc_a, doc_b, round(i / (na.n + nb.n - i), 4) as jaccard
     from inter
@@ -112,36 +117,47 @@ _DF_CAP = 50
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard dedup, df-capped candidate generation (see _DF_CAP):
-    hot shingles never become join keys, so no single key fans out
-    quadratically; the exact jaccard is then verified on the full shingle
-    sets of the (bounded) candidate pairs only."""
+    """n-gram Jaccard dedup with df-capped pair generation (see _DF_CAP):
+    candidate pairs and the rare part of the intersection come from a
+    self-join restricted to shingles with df <= cap (per-key fan-out
+    bounded by cap^2, never quadratic in corpus size); the hot shingles'
+    contribution is added back with a join that touches only the
+    (bounded) candidate pairs x (few distinct hot shingles), so the
+    reported jaccard is the TRUE value over the full shingle sets."""
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    rare = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _DF_CAP)
-        .select("s")
+    # one groupBy(s) materializes each shingle's (sorted) posting list;
+    # rare postings expand to ordered doc pairs JVM-side — bounded by
+    # cap^2/2 per key BY CONSTRUCTION, and the shingle pipeline runs once
+    # instead of once per self-join branch
+    grp = sh.groupBy("s").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> transform("
+        "slice(ds, i + 2, size(ds)), y -> struct(x as doc_a, y as doc_b))))"
     )
-    capped = sh.join(rare, "s")
-    a = capped.alias("a")
-    b = capped.alias("b")
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    inter_rare = (
+        grp.filter(F.size("ds") <= _DF_CAP)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("ir"))
     )
-    x = sh.select(F.col("doc_id").alias("xa"), F.col("s").alias("sx"))
-    y = sh.select(F.col("doc_id").alias("yb"), F.col("s").alias("sy"))
-    inter = (
-        cand.join(x, F.col("doc_a") == F.col("xa"))
+    shh = sh.join(grp.filter(F.size("ds") > _DF_CAP).select("s"), "s", "left_semi")
+    x = shh.select(F.col("doc_id").alias("xa"), F.col("s").alias("sx"))
+    y = shh.select(F.col("doc_id").alias("yb"), F.col("s").alias("sy"))
+    inter_hot = (
+        inter_rare.select("doc_a", "doc_b")
+        .join(x, F.col("doc_a") == F.col("xa"))
         .join(y, (F.col("doc_b") == F.col("yb")) & (F.col("sx") == F.col("sy")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("i"))
+        .agg(F.count("*").cast("long").alias("ih"))
+    )
+    inter = inter_rare.join(inter_hot, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("ir") + F.coalesce(F.col("ih"), F.lit(0))).alias("i"),
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
