@@ -70,7 +70,10 @@ COUNTER_KEYS = [
 #: - exact / bloom: sharded-blob cogroup (seen.filter_and_update)
 #: - anti:          pure-JVM xxhash64 anti-join (filter_and_update_anti)
 #: - bitword:       pure-JVM bloom bitmap as word rows (filter_and_update_bitmap)
-SEEN_MODES = ("exact", "bloom", "anti", "bitword")
+#: - abucket:       anti-join against a PERSISTENT round-partitioned bucketed
+#:                  store; per-round state write is an O(fresh) partition
+#:                  append, never an O(seen) snapshot (the 10^10 mode)
+SEEN_MODES = ("exact", "bloom", "anti", "bitword", "abucket")
 
 
 def global_sequence(
@@ -131,6 +134,7 @@ class CrawlEngine:
         m_bits: int = 1 << 23,
         k: int = 7,
         round_cap: int | None = None,
+        n_buckets: int = 64,
     ):
         self.spark = spark
         self.pages = pages.persist()
@@ -141,6 +145,9 @@ class CrawlEngine:
         self.mode, self.n_shards, self.salt, self.m_bits, self.k = (
             mode, n_shards, salt, m_bits, k,
         )
+        #: abucket mode: bucket count of the persistent seen store (the
+        #: Iceberg ``bucket(N, h1)`` width on a real deployment)
+        self.n_buckets = n_buckets
         #: E3 global per-round batch ceiling (ORDER BY priority LIMIT n):
         #: per-host budgets alone let a frontier with 10M hosts fetch
         #: 10M x budget pages in one round; the cap bounds the round
@@ -149,7 +156,7 @@ class CrawlEngine:
         self.round_cap = round_cap
 
     # ------------------------------------------------------------------
-    def _init_seen_state(self) -> DataFrame:
+    def _init_seen_state(self) -> DataFrame | None:
         if self.mode in ("exact", "bloom"):
             return S.init_shards(
                 self.spark, self.mode, self.n_shards, self.m_bits, self.k
@@ -158,7 +165,22 @@ class CrawlEngine:
             return S.init_hashes(self.spark)
         if self.mode == "bitword":
             return S.init_bitmap(self.spark)
+        if self.mode == "abucket":
+            # state lives in the persistent bucketed store, not a snapshot df
+            S.ensure_seen_store(self.spark, self.io.base, self.n_buckets, fresh=True)
+            return None
         raise ValueError(f"unknown seen mode {self.mode!r}; one of {SEEN_MODES}")
+
+    def _seen_table(self) -> str:
+        """Register-on-demand handle to the abucket persistent store (cheap
+        when already registered; re-registers + recovers partitions when
+        resuming in a fresh session)."""
+        return S.ensure_seen_store(self.spark, self.io.base, self.n_buckets)
+
+    def _state_tables(self) -> list[str]:
+        """Snapshot tables that carry seen state (abucket keeps its state
+        in the round-partitioned store instead — O(fresh) appends)."""
+        return [] if self.mode == "abucket" else ["seen_shards"]
 
     @staticmethod
     def _stats_dict(stats_df: DataFrame) -> dict:
@@ -171,15 +193,18 @@ class CrawlEngine:
             for r in stats_df.collect()
         }
 
-    def _admit(self, cand: DataFrame, state: DataFrame, round_no: int):
+    def _admit(self, cand: DataFrame, state: DataFrame | None, round_no: int):
         """Candidates (url, depth, kind) -> flagged fresh rows + state'.
 
         One seen-filter pass (strategy per ``self.mode``) does
         within-batch dedup + seen-test + state update + per-kind stats;
         robots are checked on the fresh survivors only.  Returns
-        (flagged, new_state, parents, stats); ``flagged`` is persisted —
-        caller unpersists it and every df in ``parents`` after the state
-        snapshot is written.
+        (flagged, persist_state, parents, stats); ``persist_state()``
+        writes this round's seen-state update — a full ``seen_shards``
+        snapshot for exact/bloom/anti/bitword, an O(fresh) partition
+        append into the bucketed store for abucket.  ``flagged`` is
+        persisted — caller unpersists it and every df in ``parents`` after
+        ``persist_state()`` ran.
         """
         if self.mode in ("exact", "bloom"):
             fresh, new_state, seen_out = S.filter_and_update(
@@ -189,11 +214,23 @@ class CrawlEngine:
         elif self.mode == "anti":
             fresh, new_state, stats_df, parent = S.filter_and_update_anti(cand, state)
             parents, stats_fn = [parent], lambda: self._stats_dict(stats_df)
+        elif self.mode == "abucket":
+            fresh, stats_df, parents, append_fn = S.filter_and_update_abucket(
+                cand, self.spark, self._seen_table(), self.n_buckets,
+                upto_round=round_no - 1, round_no=round_no,
+            )
+            new_state, stats_fn = None, lambda: self._stats_dict(stats_df)
         else:  # bitword
             fresh, new_state, stats_df, parent = S.filter_and_update_bitmap(
                 cand, state, self.m_bits, self.k
             )
             parents, stats_fn = [parent], lambda: self._stats_dict(stats_df)
+        if self.mode == "abucket":
+            persist_state = append_fn
+        else:
+            persist_state = lambda: self.io.write_table(  # noqa: E731
+                new_state, "seen_shards", round_no
+            )
         flagged = (
             fresh.withColumn("host", host_expr(F.col("url")))
             .join(F.broadcast(self.robots), "host", "left")
@@ -205,7 +242,7 @@ class CrawlEngine:
         )
         flagged.count()  # materialize once (also executes the seen filter)
         stats = stats_fn()
-        return flagged, new_state, parents, stats
+        return flagged, persist_state, parents, stats
 
     def _empty_carry(self) -> DataFrame:
         return self.spark.createDataFrame([], "host string, carry long")
@@ -261,14 +298,17 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def init_state(self) -> dict:
         """Round 0: admit the seed list; commit the initial snapshot."""
-        self.io.set_meta("seen_config", [self.mode, self.n_shards, self.m_bits, self.k])
+        self.io.set_meta(
+            "seen_config",
+            [self.mode, self.n_shards, self.m_bits, self.k, self.n_buckets],
+        )
         state = self._init_seen_state()
         seeds = self.seeds.select(
             canonicalize_url_expr("url").alias("url"),
             F.lit(0).cast("long").alias("depth"),
             F.lit("page").alias("kind"),
         )
-        flagged, new_state, parents, stats = self._admit(seeds, state, 0)
+        flagged, persist_state, parents, stats = self._admit(seeds, state, 0)
         counters = {k: 0 for k in COUNTER_KEYS}
         pstats = stats.get("page", {"deduped": 0, "fresh": 0})
         counters["deduped"] = pstats["deduped"]
@@ -278,12 +318,13 @@ class CrawlEngine:
             self._frontier_rows(flagged, 0), "frontier", 0,
             "discovered_round", [0], None,
         )
-        self.io.write_table(new_state, "seen_shards", 0)
+        persist_state()
         self.io.write_table(flagged.select("url", "kind"), "admitted", 0)
         self.io.write_table(self._empty_carry(), "hostcarry", 0)
         self._write_counters(counters, 0)
         self.io.commit_round(
-            0, ["frontier", "seen_shards", "admitted", "hostcarry", "crawl_log"]
+            0,
+            ["frontier", *self._state_tables(), "admitted", "hostcarry", "crawl_log"],
         )
         for df in (flagged, *parents):
             df.unpersist()
@@ -299,7 +340,11 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
         frontier = self.io.read_table(self.spark, "frontier", round_no - 1)
-        state = self.io.read_table(self.spark, "seen_shards", round_no - 1)
+        state = (
+            None
+            if self.mode == "abucket"
+            else self.io.read_table(self.spark, "seen_shards", round_no - 1)
+        )
         pending = frontier.filter(F.col("status") == "pending")
         n_pending = pending.count()
         counters = {k: 0 for k in COUNTER_KEYS}
@@ -366,7 +411,7 @@ class CrawlEngine:
         )
 
         # --- single admission pass (seen filter + robots) ----------------
-        flagged, new_state, parents, stats = self._admit(cand, state, round_no)
+        flagged, persist_state, parents, stats = self._admit(cand, state, round_no)
         p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
         a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
         denied_counts = {
@@ -391,7 +436,7 @@ class CrawlEngine:
         counters["dead_letters"] = dead.count()
 
         self.io.write_table(flagged.select("url", "kind"), "admitted", round_no)
-        self.io.write_table(new_state, "seen_shards", round_no)
+        persist_state()  # abucket: O(fresh) partition append, not O(seen)
 
         # --- per-host lineage (north_rule: per-partition lineage+metrics;
         # the salted host partition is the politeness/parallelism unit) ---
@@ -448,8 +493,10 @@ class CrawlEngine:
         self._write_counters(counters, round_no)
         self.io.commit_round(
             round_no,
-            ["frontier", "seen_shards", "admitted", "hostcarry", "crawl_log",
-             "extracted", "metadata", "dead_letters", "host_log"],
+            ["frontier", *self._state_tables(), "admitted", "hostcarry",
+             "crawl_log", "extracted", "metadata", "dead_letters", "host_log",
+             "batch"],  # batch = global_sequence's range files (committed,
+                        # so rollback cleans them — no orphan scratch dirs)
         )
         for df in (fetched, flagged, parsed, *parents):
             df.unpersist()
@@ -503,7 +550,8 @@ class CrawlEngine:
                 # (shard routing / bloom geometry); a mismatched engine
                 # would silently re-admit seen URLs
                 want = self.io.get_meta("seen_config")
-                have = [self.mode, self.n_shards, self.m_bits, self.k]
+                have = [self.mode, self.n_shards, self.m_bits, self.k,
+                        self.n_buckets]
                 if want is not None and want != have:
                     raise ValueError(
                         f"resume config mismatch: snapshot has {want}, "

@@ -319,6 +319,122 @@ def create_bucketed_seen_table(
     ).mode("overwrite").saveAsTable(name)
 
 
+def seen_store_name(base_dir: str) -> str:
+    """Catalog name for a crawl's persistent seen store — derived from the
+    snapshot directory so engines over different crawls never collide in
+    the shared session catalog."""
+    import hashlib
+    import os
+
+    digest = hashlib.md5(os.path.abspath(base_dir).encode()).hexdigest()[:12]
+    return f"seen_store_{digest}"
+
+
+def ensure_seen_store(
+    spark, base_dir: str, n_buckets: int = 64, fresh: bool = False
+) -> str:
+    """Create or re-register the engine's persistent seen store: an
+    EXTERNAL parquet table under ``base_dir/seen_store``, PARTITIONED BY
+    round and CLUSTERED BY h1 into ``n_buckets`` buckets (the sandbox
+    stand-in for an Iceberg table partitioned by round and bucketed by
+    ``bucket(N, h1)``).
+
+    The round partition column is what makes O(fresh) appends SAFE under
+    the manifest commit protocol: every reader filters
+    ``round <= last_committed_round`` (partition pruning), so rows
+    appended by an uncommitted or crashed round are invisible without any
+    cleanup, and a re-run after rollback replaces its own partition via
+    dynamic partition overwrite (idempotent).
+
+    ``fresh=True`` drops any existing table AND its files (crawl restart);
+    otherwise an existing location is re-registered (resume in a new
+    session) with ``recoverPartitions`` so prior rounds are visible.
+    """
+    import os
+    import shutil
+
+    name = seen_store_name(base_dir)
+    loc = os.path.join(os.path.abspath(base_dir), "seen_store")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if fresh:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc, ignore_errors=True)
+    if not spark.catalog.tableExists(name):
+        had_data = os.path.exists(loc)
+        os.makedirs(loc, exist_ok=True)
+        spark.sql(
+            f"CREATE TABLE {name} (h1 BIGINT, round BIGINT) USING PARQUET "
+            f"PARTITIONED BY (round) CLUSTERED BY (h1) SORTED BY (h1) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+        if had_data:
+            spark.catalog.recoverPartitions(name)
+    return name
+
+
+def filter_and_update_abucket(
+    candidates: DataFrame,
+    spark,
+    table: str,
+    n_buckets: int,
+    upto_round: int,
+    round_no: int,
+):
+    """The CrawlEngine production form of the bucketed anti-join seen
+    filter (engine ``mode='abucket'``): membership against the persistent
+    round-partitioned bucketed store (:func:`ensure_seen_store`), state
+    update as an O(fresh) append into partition ``round=round_no``.
+
+    Plan shape (asserted in tests/test_seen.py): the seen side is a
+    bucketed FileScan with partition filter ``round <= upto_round`` and NO
+    Exchange above it; only the candidate batch shuffles, once, into the
+    bucket layout.  Per-round cost: one O(candidates) shuffle + a
+    bucket-local scan of the seen table + one O(fresh) partition append —
+    never an O(seen) rewrite.
+
+    Unlike :func:`filter_and_update_anti_bucketed` (the bench/library
+    form), re-execution of any consumer AFTER the append is harmless: the
+    appended rows carry ``round=round_no`` and every read filters
+    ``round <= upto_round``, so a cache eviction can never make the
+    anti-join see its own output.
+
+    Returns ``(fresh(url, depth, kind), stats(kind, n_cand, n_fresh),
+    parents, append_fn)``; ``append_fn()`` writes the fresh hashes with
+    dynamic partition overwrite (idempotent re-run); caller unpersists
+    ``parents`` when the round is committed.
+    """
+    if "kind" not in candidates.columns:
+        candidates = candidates.withColumn("kind", F.lit("page"))
+    cand = candidates.select("url", "depth", "kind").withColumn(
+        "h1", F.xxhash64("url")
+    )
+    # within-batch dedup, pre-shuffled to the bucket layout so the groupBy
+    # and the anti-join both reuse the same single Exchange
+    w_cand = (
+        cand.repartition(n_buckets, "h1")
+        .groupBy("h1")
+        .agg(F.min(F.struct("depth", "url", "kind")).alias("s"))
+        .select("h1", "s.url", "s.depth", "s.kind")
+        .persist()
+    )
+    seen_side = (
+        spark.table(table).where(F.col("round") <= F.lit(upto_round)).select("h1")
+    )
+    fresh = w_cand.join(seen_side, "h1", "left_anti").persist()
+    stats = (
+        w_cand.join(fresh.select("h1", F.lit(True).alias("_f")), "h1", "left")
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_cand"), F.count("_f").alias("n_fresh"))
+    )
+
+    def append_fn() -> None:
+        fresh.select(
+            "h1", F.lit(round_no).cast("long").alias("round")
+        ).write.mode("overwrite").insertInto(table)
+
+    return fresh.select("url", "depth", "kind"), stats, [w_cand, fresh], append_fn
+
+
 def filter_and_update_anti_bucketed(
     candidates: DataFrame,
     spark,

@@ -58,6 +58,7 @@ def _mk_engine(spark, fixtures, tmpdir, mode="exact"):
         salt=4,
         m_bits=1 << 18,
         k=7,
+        n_buckets=4,
     )
 
 
@@ -185,7 +186,7 @@ def test_dead_letters_identical(spark_run, pyref_run):
     assert len(got) > 0  # B4 dead-letter path exercised
 
 
-@pytest.mark.parametrize("mode", ["bloom", "anti", "bitword"])
+@pytest.mark.parametrize("mode", ["bloom", "anti", "bitword", "abucket"])
 def test_seen_modes_match_exact(spark, fixtures, tmp_path_factory, pyref_run, mode):
     """Same crawl under every alternative seen-filter strategy — identical
     ordering, seen set, AND per-round counters.  bloom/bitword FPs would
@@ -255,6 +256,30 @@ def test_kill_resume_identical(spark, fixtures, tmp_path_factory, spark_run, pyr
     eng.io.rollback_to(2)
     # a brand-new engine resumes from the last committed snapshot
     eng2 = _mk_engine(spark, fixtures, str(eng.io.base), )
+    eng2.run(max_rounds=50)
+    assert eng2.crawl_order() == pyref_run.crawl_order
+    assert eng2.seen_urls() == pyref_run.seen_urls()
+
+
+def test_kill_resume_identical_abucket(spark, fixtures, tmp_path_factory, pyref_run):
+    """Kill/resume under mode='abucket': round-3 appends to the seen store
+    happen BEFORE the manifest commit, so a crash between them must leave
+    the store readable as of round 2 — the round partition column + the
+    reader's ``round <= committed`` filter guarantee it without cleanup,
+    and the re-run's dynamic partition overwrite replaces the stale
+    partition idempotently."""
+    eng = _mk_engine(spark, fixtures, tmp_path_factory.mktemp("crawlab"), mode="abucket")
+    eng.init_state()
+    eng.run_round(1)
+    eng.run_round(2)
+    eng.run_round(3)  # round 3 fully ran: its seen-store partition exists...
+    eng.io.rollback_to(2)  # ...but the crash voided the commit
+    # the uncommitted partition is really there (the hazard is real)
+    import os
+    assert os.path.exists(os.path.join(str(eng.io.base), "seen_store", "round=3"))
+    # a brand-new engine resumes from the last committed snapshot and must
+    # reproduce the oracle exactly despite the stale partition
+    eng2 = _mk_engine(spark, fixtures, str(eng.io.base), mode="abucket")
     eng2.run(max_rounds=50)
     assert eng2.crawl_order() == pyref_run.crawl_order
     assert eng2.seen_urls() == pyref_run.seen_urls()

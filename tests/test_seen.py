@@ -135,6 +135,97 @@ def test_anti_bucketed_matches_and_never_shuffles_seen_side(spark):
     spark.sql("drop table t_seen_bkt")
 
 
+def test_abucket_engine_store_round_semantics(spark, tmp_path):
+    """filter_and_update_abucket (the CrawlEngine mode='abucket' form):
+    correct fresh sets across rounds, O(fresh) appends into per-round
+    partitions, stats parity, uncommitted-round invisibility (reads filter
+    round <= upto), and idempotent re-run via dynamic partition overwrite."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from geocrawl_spark.seen import ensure_seen_store, filter_and_update_abucket
+
+    base = str(tmp_path / "crawl")
+    table = ensure_seen_store(spark, base, n_buckets=4, fresh=True)
+
+    first, second = _urls(300), _urls(500)
+    py = PySeenFilter("exact", 4, 1 << 16, 7)
+    f1 = py.add_all(first)
+    f2 = py.add_all(second)
+
+    c1 = spark.createDataFrame(
+        pd.DataFrame({"url": first, "depth": [1] * len(first)}),
+        "url string, depth long",
+    )
+    fresh1, stats1, parents1, append1 = filter_and_update_abucket(
+        c1, spark, table, 4, upto_round=-1, round_no=0
+    )
+    assert sorted(r["url"] for r in fresh1.collect()) == sorted(f1)
+    append1()
+    s = {r["kind"]: (r["n_cand"], r["n_fresh"]) for r in stats1.collect()}
+    assert s == {"page": (300, 300)}
+    for p in parents1:
+        p.unpersist()
+
+    c2 = spark.createDataFrame(
+        pd.DataFrame({"url": second, "depth": [2] * len(second)}),
+        "url string, depth long",
+    )
+    fresh2, stats2, parents2, append2 = filter_and_update_abucket(
+        c2, spark, table, 4, upto_round=0, round_no=1
+    )
+    assert sorted(r["url"] for r in fresh2.collect()) == sorted(f2)
+    append2()
+    s = {r["kind"]: (r["n_cand"], r["n_fresh"]) for r in stats2.collect()}
+    assert s == {"page": (500, 200)}
+    for p in parents2:
+        p.unpersist()
+
+    # per-round partitions on disk; round-1 rows invisible to an
+    # upto_round=0 reader (this is what makes crashed rounds harmless)
+    assert os.path.exists(os.path.join(base, "seen_store", "round=0"))
+    assert os.path.exists(os.path.join(base, "seen_store", "round=1"))
+    assert spark.table(table).where("round <= 0").count() == 300
+    assert spark.table(table).count() == 500
+
+    # idempotent re-run of round 1 (rollback + replay): dynamic overwrite
+    # replaces the partition, no duplicate hashes
+    fresh2b, _, parents2b, append2b = filter_and_update_abucket(
+        c2, spark, table, 4, upto_round=0, round_no=1
+    )
+    assert sorted(r["url"] for r in fresh2b.collect()) == sorted(f2)
+    append2b()
+    assert spark.table(table).count() == 500
+    for p in parents2b:
+        p.unpersist()
+
+    # plan shape: seen side is a bucketed scan with the round partition
+    # filter and NO Exchange above it; only the candidate batch shuffles
+    plan = (
+        spark.createDataFrame(
+            pd.DataFrame({"url": second, "depth": [2] * len(second)}),
+            "url string, depth long",
+        )
+        .withColumn("h1", F.xxhash64("url"))
+        .repartition(4, "h1")
+        .groupBy("h1")
+        .agg(F.min("url").alias("url"))
+        .join(
+            spark.table(table).where("round <= 1").select("h1").hint("merge"),
+            "h1",
+            "left_anti",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # candidates only
+    assert "Bucketed: true" in plan
+    assert "round" in plan.split("PartitionFilters", 1)[1][:200]
+    spark.sql(f"drop table {table}")
+
+
 def test_bitmap_strategy_matches_blob(spark):
     """JVM bitmap bloom == blob bloom bit-for-bit: tiny m_bits forces
     real false positives, which must agree exactly (same Kirsch-
