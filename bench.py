@@ -3,31 +3,38 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Headline: `frontier_round` — one full crawl-round dataflow over
-N_FRONTIER synthetic URLs generated JVM-side with spark.range (no
-Python in the data path), i.e. exactly the north_rule metric "frontier
-URLs processed/sec".  The timed window covers canonicalize -> xxhash64
--> seen-filter -> state update -> robots gate -> salted per-host
-politeness pop; only raw URL-string generation is excluded (persisted
-before the clock).
+Headline: `frontier_round` — strategy "engine": a REAL CrawlEngine in
+mode='abucket' (the persistent bucketed seen store with O(fresh)
+per-round appends) driven end-to-end over N_FRONTIER synthetic URLs
+generated JVM-side with spark.range (no Python in the data path).  The
+timed window is an actual engine round pair:
+  init_state  — canonicalize -> xxhash64 -> bucketed seen filter ->
+                robots gate -> frontier/admitted snapshot writes ->
+                O(fresh) seen append -> manifest commit;
+  run_round 1 — pending scan -> budget+carry -> salted per-host
+                politeness pop -> distributed fetch_seq rank -> fetch
+                join -> MERGE-style frontier rewrite -> commit.
+Only raw URL-string generation is excluded (persisted before the
+clock).  This is stricter than the round-2 window: every snapshot write
+and manifest commit the production engine performs is inside the clock.
 
-Seen-filter ``strategy`` (see geocrawl_spark/seen.py):
-- bitword  — pure-JVM bloom bitmap as (word_id, bits) rows; zero Python
-             crossings;
+Library-path strategies (same admission dataflow without the engine's
+snapshot persistence; see geocrawl_spark/seen.py) are kept as secondary
+metrics for continuity with BENCH_r01/r02:
+- abucket  — anti-join against a persistent bucketed seen table
+             pre-populated with n prior hashes (storage-partitioned
+             join; seen side never reshuffles);
 - anti     — pure-JVM exact xxhash64 anti-join (in-memory seen set);
-- abucket  — the anti-join against a PERSISTENT bucketed seen table
-             pre-populated with as many hashes as the round has
-             candidates: the storage-partitioned-join form that survives
-             10^10 URLs (seen side never reshuffles; update is a bucket
-             append) — HEADLINE;
+- bitword  — pure-JVM bloom bitmap as (word_id, bits) rows;
 - bloom    — sharded-blob cogroup (one Arrow crossing each way).
 
 Also times every queries() entry at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
 BENCH_FRONTIER_URLS (default 2_000_000), BENCH_QUERIES=0 to skip the
-query sweep, BENCH_STRATEGIES (default "bitword,anti,bloom"),
-BENCH_REPEAT best-of-N (default 3) — used by scripts/scaling_bench.py.
+query sweep, BENCH_STRATEGIES (default
+"engine,abucket,bitword,anti,bloom"), BENCH_REPEAT best-of-N (default
+3) — used by scripts/scaling_bench.py.
 """
 
 from __future__ import annotations
@@ -68,6 +75,94 @@ def _bitword_m_bits(n: int) -> int:
     return m
 
 
+def _synthetic_inputs(spark, n: int):
+    """(raw_urls persisted+counted, budgets, robots) — shared by the
+    engine and library-path benchmarks.  Raw strings are mixed-case with
+    redundant ports/fragments so the in-clock canonicalization pass has
+    real work to do."""
+    raw = (
+        spark.range(n)
+        .select(
+            F.format_string(
+                "HTTP://Host%d.example.org:80/p/%d.html#f",
+                F.pmod(F.col("id"), F.lit(N_HOSTS)),
+                F.col("id"),
+            ).alias("raw"),
+            (F.col("id") % 7).alias("depth"),
+        )
+        .persist()
+    )
+    raw.count()  # raw input materialized before the clock starts
+    budgets = spark.range(N_HOSTS).select(
+        F.format_string("host%d.example.org", F.col("id")).alias("host"),
+        (F.lit(64) + F.pmod(F.col("id"), F.lit(64))).alias("budget"),
+    )
+    robots = spark.range(N_HOSTS).select(
+        F.format_string("host%d.example.org", F.col("id")).alias("host"),
+        F.when(F.col("id") % 11 == 0, F.array(F.lit("/private/")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow"),
+    )
+    return raw, budgets, robots
+
+
+def engine_round(
+    spark, n: int | None = None, warmup: bool = True
+) -> tuple[float, int, dict]:
+    """HEADLINE: a real CrawlEngine (mode='abucket') round pair over ``n``
+    URLs — the engine's own code path end-to-end, snapshot persistence and
+    manifest commits included (see module docstring for the window)."""
+    import shutil
+    import tempfile
+
+    from geocrawl_spark.frontier import CrawlEngine
+
+    if n is None:
+        n = N_FRONTIER
+    if warmup:
+        engine_round(spark, max(n // 8, 10_000), warmup=False)
+        repeats = int(os.environ.get("BENCH_REPEAT", "3"))
+        if repeats > 1:
+            results = [
+                engine_round(spark, n, warmup=False) for _ in range(repeats)
+            ]
+            return min(results, key=lambda r: r[0])
+    raw, budgets, robots = _synthetic_inputs(spark, n)
+    pages_empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    base = tempfile.mkdtemp(prefix="bench-crawl-")
+    eng = CrawlEngine(
+        spark,
+        pages=pages_empty,
+        seeds=raw.select(F.col("raw").alias("url")),
+        robots=robots,
+        hostbudget=budgets,
+        base_dir=base,
+        mode="abucket",
+        n_buckets=N_BUCKETS,
+        salt=8,
+    )
+    t0 = time.time()
+    eng.init_state()  # the n-URL admission pass (canon -> seen -> robots)
+    t1 = time.time()
+    res = eng.run_round(1)  # the politeness pop + frontier MERGE pass
+    dt = time.time() - t0
+    splits = {"admit": round(t1 - t0, 3), "pop": round(dt - (t1 - t0), 3)}
+    # n_batch > 0 and all batch urls miss the empty pages table; politeness
+    # deferrals only bind once n exceeds the ~95k/round host capacity
+    assert res["missing"] > 0
+    assert n < 200_000 or res["deferred_politeness"] > 0
+    raw.unpersist()
+    for df in (eng.pages, eng.robots, eng.hostbudget):
+        df.unpersist()
+    from geocrawl_spark import seen as _S
+
+    spark.sql(f"DROP TABLE IF EXISTS {_S.seen_store_name(base)}")
+    shutil.rmtree(base, ignore_errors=True)
+    return dt, n, splits
+
+
 def frontier_round(
     spark, n: int | None = None, warmup: bool = True, strategy: str = "bitword"
 ) -> tuple[float, int]:
@@ -89,32 +184,7 @@ def frontier_round(
                 for _ in range(repeats)
             ]
             return min(results, key=lambda r: r[0])
-    # JVM-side synthetic RAW url strings (mixed-case + port variants so the
-    # in-clock canonicalization pass has real work to do)
-    raw = (
-        spark.range(n)
-        .select(
-            F.format_string(
-                "HTTP://Host%d.example.org:80/p/%d.html#f",
-                F.pmod(F.col("id"), F.lit(N_HOSTS)),
-                F.col("id"),
-            ).alias("raw"),
-            (F.col("id") % 7).alias("depth"),
-        )
-        .persist()
-    )
-    raw.count()  # raw input materialized before the clock starts
-
-    budgets = spark.range(N_HOSTS).select(
-        F.format_string("host%d.example.org", F.col("id")).alias("host"),
-        (F.lit(64) + F.pmod(F.col("id"), F.lit(64))).alias("budget"),
-    )
-    robots = spark.range(N_HOSTS).select(
-        F.format_string("host%d.example.org", F.col("id")).alias("host"),
-        F.when(F.col("id") % 11 == 0, F.array(F.lit("/private/")))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("disallow"),
-    )
+    raw, budgets, robots = _synthetic_inputs(spark, n)
     # pre-round seen state per strategy (bloom sized for this round's
     # volume; production sizing notes in seen.py)
     shards = S.init_shards(spark, "bloom", N_SHARDS, 1 << 24, 7)
@@ -199,16 +269,20 @@ def main():
 
     queries: dict[str, float] = {}
     strategies = os.environ.get(
-        "BENCH_STRATEGIES", "abucket,bitword,anti,bloom"
+        "BENCH_STRATEGIES", "engine,abucket,bitword,anti,bloom"
     ).split(",")
     per_strategy: dict[str, float] = {}
+    splits: dict[str, float] = {}
     for strat in strategies:
-        dt, n = frontier_round(spark, strategy=strat)
-        key = "frontier_round" if strat == "abucket" else f"frontier_round_{strat}"
-        queries[key] = round(dt, 3)
+        if strat == "engine":
+            dt, n, splits = engine_round(spark)
+            queries["frontier_round"] = round(dt, 3)
+        else:
+            dt, n = frontier_round(spark, strategy=strat)
+            queries[f"frontier_round_{strat}"] = round(dt, 3)
         per_strategy[strat] = round(n / dt, 1)
-    # headline = the 10^10-viable bucketed-storage anti-join
-    urls_per_sec = per_strategy.get("abucket") or next(iter(per_strategy.values()))
+    # headline = the production CrawlEngine abucket round (else first listed)
+    urls_per_sec = per_strategy.get("engine") or next(iter(per_strategy.values()))
 
     if run_queries:
         from __spark_entry__ import queries as q_entries
@@ -226,10 +300,11 @@ def main():
         "metric": "frontier_urls_per_sec",
         "value": round(urls_per_sec, 1),
         "unit": "urls/sec",
-        "strategy": "abucket" if "abucket" in per_strategy else strategies[0],
+        "strategy": "engine" if "engine" in per_strategy else strategies[0],
         "total_sec": total,
         "frontier_urls": N_FRONTIER,
         "urls_per_sec_by_strategy": per_strategy,
+        "engine_round_splits": splits,
         "queries": queries,
         "sf": sf_dir,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

@@ -139,7 +139,16 @@ class CrawlEngine:
         self.spark = spark
         self.pages = pages.persist()
         self.seeds = seeds
-        self.robots = robots.persist()
+        # robots(host, disallow[, allow]): REP longest-match rules with
+        # wildcards and Allow-overrides-Disallow (politeness.py).  The
+        # pattern->regex conversion is precomputed HERE, on the one-row-
+        # per-host broadcast dimension, so the admission hot path only
+        # matches (plain prefixes via startswith, no per-URL regex build).
+        if "allow" not in robots.columns:
+            robots = robots.withColumn("allow", F.array().cast("array<string>"))
+        self.robots = robots.withColumn(
+            "_rules", pol.robots_rules_expr(F.col("disallow"), F.col("allow"))
+        ).persist()
         self.hostbudget = hostbudget.persist()
         self.io = TableIO(base_dir)
         self.mode, self.n_shards, self.salt, self.m_bits, self.k = (
@@ -233,9 +242,9 @@ class CrawlEngine:
             )
         flagged = (
             fresh.withColumn("host", host_expr(F.col("url")))
-            .join(F.broadcast(self.robots), "host", "left")
+            .join(F.broadcast(self.robots.select("host", "_rules")), "host", "left")
             .withColumn(
-                "denied", pol.robots_denied_expr(F.col("url"), F.col("disallow"))
+                "denied", pol.robots_denied_rules_expr(F.col("url"), F.col("_rules"))
             )
             .select("url", "host", "depth", "kind", "denied")
             .persist()
@@ -338,7 +347,18 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
+    def _mark(self, marks: list, label: str) -> None:
+        """Section timer for round profiling (GEOCRAWL_PROFILE=1): driver
+        wall-time between marks, printed at round end.  The engine's
+        per-round latency is dominated by driver-blocking actions, so
+        wall-between-marks is the right lens for job-count tuning."""
+        import time as _t
+
+        marks.append((label, _t.time()))
+
     def run_round(self, round_no: int) -> dict:
+        marks: list = []
+        self._mark(marks, "start")
         frontier = self.io.read_table(self.spark, "frontier", round_no - 1)
         state = (
             None
@@ -347,6 +367,7 @@ class CrawlEngine:
         )
         pending = frontier.filter(F.col("status") == "pending")
         n_pending = pending.count()
+        self._mark(marks, "pending_count")
         counters = {k: 0 for k in COUNTER_KEYS}
         if n_pending == 0:
             return {"done": True, **counters}
@@ -377,73 +398,107 @@ class CrawlEngine:
         counters["deferred_politeness"] = n_pending - n_batch
         counters["fetched"] = n_fetched
         counters["missing"] = n_batch - n_fetched
+        self._mark(marks, "pop_fetch")
         got = fetched.filter(F.col("html").isNotNull())
 
-        # --- extract text (byte-identity invariant) + provenance --------
-        extracted = got.select(
-            "url",
-            F.lit(round_no).alias("round"),
-            A.extract_text_udf("html").alias("text_extracted"),
-            F.length("html").alias("content_length"),
-            "warc_ts",
-        )
-        self.io.write_table(extracted, "extracted", round_no)
-
-        # --- link fan-out: page + asset candidates in one pass ----------
-        links = (
-            got.select("url", "depth", F.explode(A.extract_links_udf("html")).alias("href"))
-            .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
-            .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
-        )
-        cand = (
-            links.withColumn(
-                "kind",
-                F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
-                    A.is_asset_expr(F.col("canon")), F.lit("asset")
-                ),
+        if n_fetched == 0:
+            # Fast path (common at the crawl tail and after dead rounds):
+            # nothing fetched means provably zero link candidates, so the
+            # extract/admission/asset stages are identities.  Skipping them
+            # avoids ~10 driver-blocking empty jobs (mostly Catalyst
+            # analysis of the big parse expression trees) per round.  The
+            # per-round tables they would have written empty are simply
+            # absent — read_all_rounds unions only existing paths, and the
+            # pyref oracle produces the same zero counters.  Snapshot modes
+            # still carry the (unchanged) seen state forward, since the
+            # next round reads seen_shards@round_no; the abucket store
+            # needs no write at all (absent partition == no new hashes).
+            flagged = self.spark.createDataFrame(
+                [], "url string, host string, depth long, kind string, denied boolean"
+            ).persist()
+            parents, parsed = [], None
+            if self.mode != "abucket":
+                self.io.write_table(state, "seen_shards", round_no)
+            self._mark(marks, "fastpath_empty_fetch")
+        else:
+            # --- extract text (byte-identity invariant) + provenance -----
+            extracted = got.select(
+                "url",
+                F.lit(round_no).alias("round"),
+                A.extract_text_udf("html").alias("text_extracted"),
+                F.length("html").alias("content_length"),
+                "warc_ts",
             )
-            .filter(F.col("kind").isNotNull())
-            .select(
-                F.col("canon").alias("url"),
-                (F.col("depth") + 1).alias("depth"),
-                "kind",
+            self.io.write_table(extracted, "extracted", round_no)
+            self._mark(marks, "extract_write")
+
+            # --- link fan-out: page + asset candidates in one pass -------
+            links = (
+                got.select("url", "depth", F.explode(A.extract_links_udf("html")).alias("href"))
+                .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
+                .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
             )
-        )
+            cand = (
+                links.withColumn(
+                    "kind",
+                    F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
+                        A.is_asset_expr(F.col("canon")), F.lit("asset")
+                    ),
+                )
+                .filter(F.col("kind").isNotNull())
+                .select(
+                    F.col("canon").alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    "kind",
+                )
+            )
 
-        # --- single admission pass (seen filter + robots) ----------------
-        flagged, persist_state, parents, stats = self._admit(cand, state, round_no)
-        p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
-        a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
-        denied_counts = {
-            r["kind"]: r["n"]
-            for r in flagged.filter(F.col("denied"))
-            .groupBy("kind")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        counters["deduped"] = p["deduped"] + a["deduped"]
-        counters["robots_denied"] = sum(denied_counts.values())
-        counters["discovered"] = p["fresh"] - denied_counts.get("page", 0)
+            # --- single admission pass (seen filter + robots) ------------
+            flagged, persist_state, parents, stats = self._admit(cand, state, round_no)
+            self._mark(marks, "admit")
+            p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
+            a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
+            denied_counts = {
+                r["kind"]: r["n"]
+                for r in flagged.filter(F.col("denied"))
+                .groupBy("kind")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            counters["deduped"] = p["deduped"] + a["deduped"]
+            counters["robots_denied"] = sum(denied_counts.values())
+            counters["discovered"] = p["fresh"] - denied_counts.get("page", 0)
+            self._mark(marks, "denied_counts")
 
-        # --- asset extraction + parse stage ------------------------------
-        allowed_assets = flagged.filter(
-            (F.col("kind") == "asset") & ~F.col("denied")
-        ).select(F.col("url").alias("asset_url"))
-        meta, dead, parsed = self._extract_assets(allowed_assets, round_no)
-        self.io.write_table(meta, "metadata", round_no)
-        self.io.write_table(dead, "dead_letters", round_no)
-        counters["assets_extracted"] = meta.select("asset_url").distinct().count()
-        counters["dead_letters"] = dead.count()
+            # --- asset extraction + parse stage --------------------------
+            if a["fresh"] - denied_counts.get("asset", 0) > 0:
+                allowed_assets = flagged.filter(
+                    (F.col("kind") == "asset") & ~F.col("denied")
+                ).select(F.col("url").alias("asset_url"))
+                meta, dead, parsed = self._extract_assets(allowed_assets, round_no)
+                self.io.write_table(meta, "metadata", round_no)
+                self.io.write_table(dead, "dead_letters", round_no)
+                counters["assets_extracted"] = (
+                    meta.select("asset_url").distinct().count()
+                )
+                counters["dead_letters"] = dead.count()
+            else:
+                parsed = None  # no admitted assets -> parse stage is empty
+            self._mark(marks, "assets")
 
-        self.io.write_table(flagged.select("url", "kind"), "admitted", round_no)
-        persist_state()  # abucket: O(fresh) partition append, not O(seen)
+            self.io.write_table(flagged.select("url", "kind"), "admitted", round_no)
+            self._mark(marks, "admitted_write")
+            persist_state()  # abucket: O(fresh) partition append, not O(seen)
+            self._mark(marks, "seen_persist")
 
         # --- per-host lineage (north_rule: per-partition lineage+metrics;
         # the salted host partition is the politeness/parallelism unit) ---
-        pend_h = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
+        # tiny (one row per host) but derived from full scans — persist so
+        # host_log and the carry update share one computation each
+        pend_h = pending.groupBy("host").agg(F.count("*").alias("n_pending")).persist()
         done_h = fetched.groupBy("host").agg(
             F.count("*").alias("n_batch"), F.count("html").alias("n_fetched")
-        )
+        ).persist()
         host_log = pend_h.join(done_h, "host", "left").select(
             F.lit(round_no).cast("long").alias("round"),
             "host",
@@ -459,6 +514,7 @@ class CrawlEngine:
         self.io.write_table(
             self._new_carry(pend_h, done_h, eff_budget), "hostcarry", round_no
         )
+        self._mark(marks, "host_lineage")
 
         # --- frontier update: MERGE-style partial rewrite ----------------
         # The frontier is partitioned by discovered_round (BFS layer).  A
@@ -490,6 +546,7 @@ class CrawlEngine:
             rewritten, "frontier", round_no,
             "discovered_round", touched + [round_no], round_no - 1,
         )
+        self._mark(marks, "frontier_rewrite")
         self._write_counters(counters, round_no)
         self.io.commit_round(
             round_no,
@@ -498,8 +555,16 @@ class CrawlEngine:
              "batch"],  # batch = global_sequence's range files (committed,
                         # so rollback cleans them — no orphan scratch dirs)
         )
-        for df in (fetched, flagged, parsed, *parents):
-            df.unpersist()
+        self._mark(marks, "commit")
+        for df in (fetched, flagged, parsed, pend_h, done_h, *parents):
+            if df is not None:
+                df.unpersist()
+        if os.environ.get("GEOCRAWL_PROFILE"):
+            spans = [
+                f"{label}={t1 - t0:.2f}s"
+                for (label, t1), (_, t0) in zip(marks[1:], marks[:-1])
+            ]
+            print(f"[round {round_no}] " + " ".join(spans), flush=True)
         return {"done": False, **counters}
 
     # ------------------------------------------------------------------

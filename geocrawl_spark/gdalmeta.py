@@ -48,6 +48,34 @@ UTMWKT = (
     'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
     'UNIT["metre",1],AUTHORITY["EPSG","32633"]]'
 )
+# additional CRSs plausible for the 13 filename products (Landsat/MODIS
+# Australia tiles -> GDA94 + Australian Albers 3577; CONUS products ->
+# NAD83; southern-hemisphere UTM) — exercised by the fake-GDAL proj
+# selector so proj4 export covers more than one authority code
+UTM55SWKT = (
+    'PROJCS["WGS 84 / UTM zone 55S",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'UNIT["metre",1],AUTHORITY["EPSG","32755"]]'
+)
+GDA94WKT = (
+    'GEOGCS["GDA94",DATUM["Geocentric_Datum_of_Australia_1994",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4283"]]'
+)
+NAD83WKT = (
+    'GEOGCS["NAD83",DATUM["North_American_Datum_1983",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4269"]]'
+)
+ALBERSWKT = (
+    'PROJCS["GDA94 / Australian Albers",GEOGCS["GDA94",'
+    'DATUM["Geocentric_Datum_of_Australia_1994",SPHEROID["GRS 1980",'
+    '6378137,298.257222101]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Albers_Conic_Equal_Area"],UNIT["metre",1],'
+    'AUTHORITY["EPSG","3577"]]'
+)
 
 # proj4 export (reference active path: poly.Proj4() per dataset,
 # geoparse/geoparser.go:203 -> OSRExportToProj4, geolib/geom.go:79-85).
@@ -91,8 +119,22 @@ def proj4_of_epsg_expr(code: Column) -> Column:
                 "+no_defs "
             ),
         )
+        .when(code == 4283, F.lit(_PROJ4_4283))
+        .when(code == 4269, F.lit(_PROJ4_4269))
+        .when(code == 3577, F.lit(_PROJ4_3577))
         .otherwise(F.lit(""))
     )
+
+
+# geographic / equal-area codes beyond the WGS84 family (same rule-table
+# approach; the container has no pyproj/GDAL so these strings ARE the
+# contract, mirrored exactly by the Python twin and the pyref oracle)
+_PROJ4_4283 = "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +no_defs "
+_PROJ4_4269 = "+proj=longlat +datum=NAD83 +no_defs "
+_PROJ4_3577 = (
+    "+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132 +x_0=0 +y_0=0 "
+    "+ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs "
+)
 
 
 def proj4_of_wkt_expr(wkt: Column) -> Column:
@@ -120,6 +162,12 @@ def proj4_of_wkt_py(wkt: str) -> str:
             "+y_0=0 +k=1 +units=m +nadgrids=@null +wgs84=0,0,0,0,0,0,0 "
             "+no_defs "
         )
+    if code == 4283:
+        return _PROJ4_4283
+    if code == 4269:
+        return _PROJ4_4269
+    if code == 3577:
+        return _PROJ4_3577
     return ""
 
 EXT_DRIVER = {
@@ -197,8 +245,16 @@ def _open_failed_expr(ds: Column) -> Column:
     return F.pmod(_fh_expr(ds, "pw"), F.lit(7)) == 0
 
 
+#: fake-GDAL raw-projection selector domain: index -> WKT ("" = the B6
+#: empty-projection path; indices >= len fall through to WGS84).  The
+#: non-WGS84 entries exercise every proj4 rule family (UTM N, UTM S,
+#: GDA94, NAD83, Australian Albers).
+_PROJ_CHOICES = [UTMWKT, "", GDA94WKT, NAD83WKT, ALBERSWKT, UTM55SWKT]
+_PROJ_SEL_MOD = 9  # 6 named choices + 3 residues of WGS84
+
+
 def _raw_fields_expr(ds: Column) -> dict[str, Column]:
-    proj_sel = F.pmod(_fh_expr(ds, "pw2"), F.lit(5))
+    proj_sel = F.pmod(_fh_expr(ds, "pw2"), F.lit(_PROJ_SEL_MOD))
     ulx = (F.pmod(_fh_expr(ds, "gx"), F.lit(1400)) - 700).cast("double") * 0.25
     uly = (90 - F.pmod(_fh_expr(ds, "gy"), F.lit(700)).cast("double") * 0.25)
     rot = F.when(F.pmod(_fh_expr(ds, "gr"), F.lit(5)) == 0, F.lit(0.01)).otherwise(F.lit(0.0))
@@ -210,17 +266,21 @@ def _raw_fields_expr(ds: Column) -> dict[str, Column]:
         ),
         "x_size": ((F.pmod(_fh_expr(ds, "xs"), F.lit(8)) + 1) * 240).cast("int"),
         "y_size": ((F.pmod(_fh_expr(ds, "ys"), F.lit(8)) + 1) * 180).cast("int"),
-        # raw projection as "GDAL" reports it: sometimes UTM, sometimes
-        # empty (the B6 default-substitution path), else WGS84
-        "proj_wkt_raw": F.when(proj_sel == 0, F.lit(UTMWKT))
-        .when(proj_sel == 1, F.lit(""))
-        .otherwise(F.lit(WGS84WKT)),
+        # raw projection as "GDAL" reports it: one of _PROJ_CHOICES
+        # (index 1 = empty -> the B6 default-substitution path), else WGS84
+        "proj_wkt_raw": F.coalesce(
+            *[
+                F.when(proj_sel == i, F.lit(w))
+                for i, w in enumerate(_PROJ_CHOICES)
+            ],
+            F.lit(WGS84WKT),
+        ),
         "geotransform": F.array(ulx, F.lit(0.25), rot, uly, rot, F.lit(-0.25)),
     }
 
 
 def _raw_fields_py(ds: str) -> dict:
-    proj_sel = _fh_py(ds, "pw2") % 5
+    proj_sel = _fh_py(ds, "pw2") % _PROJ_SEL_MOD
     ulx = (_fh_py(ds, "gx") % 1400 - 700) * 0.25
     uly = 90 - (_fh_py(ds, "gy") % 700) * 0.25
     rot = 0.01 if _fh_py(ds, "gr") % 5 == 0 else 0.0
@@ -229,7 +289,9 @@ def _raw_fields_py(ds: str) -> dict:
         "array_type": GDAL_TYPES[1:12][_fh_py(ds, "at") % 11],
         "x_size": (_fh_py(ds, "xs") % 8 + 1) * 240,
         "y_size": (_fh_py(ds, "ys") % 8 + 1) * 180,
-        "proj_wkt_raw": UTMWKT if proj_sel == 0 else ("" if proj_sel == 1 else WGS84WKT),
+        "proj_wkt_raw": (
+            _PROJ_CHOICES[proj_sel] if proj_sel < len(_PROJ_CHOICES) else WGS84WKT
+        ),
         "geotransform": [ulx, 0.25, rot, uly, rot, -0.25],
     }
 

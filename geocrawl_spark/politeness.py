@@ -47,17 +47,112 @@ def path_expr(url: Column) -> Column:
     return F.regexp_replace(url, r"^[a-z][a-z0-9+.\-]*://[^/?]*", "")
 
 
-def robots_denied_expr(url: Column, disallow: Column) -> Column:
-    """True when any disallow prefix matches the URL path (null-safe)."""
+# Robots matching implements REP precedence (as standardized by RFC 9309):
+# a rule is a path pattern where `*` matches any character run and a
+# trailing `$` anchors the path end; among ALL matching Allow/Disallow
+# rules the one with the LONGEST raw pattern wins, and on a length tie
+# Allow wins; no matching rule means allowed.  Empty patterns are ignored
+# (an empty Disallow line traditionally means "allow all").  Both dialects
+# implement the identical decision procedure: same pattern-length measure,
+# same array order (disallow rules before allow rules), same tie update.
+
+
+def _rule_rx_expr(p: Column) -> Column:
+    """Pattern -> anchored Java regex, built with column ops only:
+    strip a trailing `$` (anchor), escape every regex metachar except
+    `*`, turn `*` into `.*`, then re-anchor."""
+    ends = p.endswith("$")
+    core = F.when(ends, p.substr(F.lit(1), F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(core, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    body = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), body, F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_rules_expr(disallow: Column, allow: Column) -> Column:
+    """(disallow[], allow[]) -> array<struct<pat, plen, is_allow, wild, rx>>.
+
+    Meant to be evaluated ON THE ROBOTS DIMENSION (one row per host,
+    broadcast) so the pattern->regex conversion runs per host; the per-URL
+    hot path then only matches.  ``wild`` marks rules that actually need
+    the regex — plain prefixes use startswith (no per-row regex compile).
+    """
+
+    def rules(arr: Column, is_allow: bool) -> Column:
+        arr = F.coalesce(arr, F.array().cast("array<string>"))
+        return F.transform(
+            F.filter(arr, lambda p: p != ""),
+            lambda p: F.struct(
+                p.alias("pat"),
+                F.length(p).alias("plen"),
+                F.lit(is_allow).alias("is_allow"),
+                (p.contains("*") | p.endswith("$")).alias("wild"),
+                _rule_rx_expr(p).alias("rx"),
+            ),
+        )
+
+    return F.concat(rules(disallow, False), rules(allow, True))
+
+
+def robots_denied_rules_expr(url: Column, rules: Column) -> Column:
+    """REP longest-match decision against precomputed rules (null-safe:
+    absent rules -> allowed)."""
     p = path_expr(url)
-    return F.coalesce(
-        F.exists(disallow, lambda d: p.startswith(d)), F.lit(False)
+    matched = F.filter(
+        rules,
+        lambda r: F.when(r["wild"], F.regexp_like(p, r["rx"])).otherwise(
+            p.startswith(r["pat"])
+        ),
     )
+    best = F.aggregate(
+        matched,
+        F.struct(F.lit(-1).alias("plen"), F.lit(True).alias("is_allow")),
+        lambda acc, r: F.when(
+            (r["plen"] > acc["plen"])
+            | ((r["plen"] == acc["plen"]) & r["is_allow"] & ~acc["is_allow"]),
+            F.struct(r["plen"].alias("plen"), r["is_allow"].alias("is_allow")),
+        ).otherwise(acc),
+    )
+    return F.coalesce((best["plen"] >= 0) & ~best["is_allow"], F.lit(False))
 
 
-def robots_denied_py(url: str, disallow: list[str] | None) -> bool:
+def robots_denied_expr(
+    url: Column, disallow: Column, allow: Column | None = None
+) -> Column:
+    """Convenience form building the rules inline (null-safe).  For hot
+    paths, precompute :func:`robots_rules_expr` on the broadcast robots
+    dimension and use :func:`robots_denied_rules_expr` instead."""
+    if allow is None:
+        allow = F.lit(None).cast("array<string>")
+    return robots_denied_rules_expr(url, robots_rules_expr(disallow, allow))
+
+
+def _match_len_py(path: str, pat: str) -> int:
+    """Raw-pattern length when ``pat`` matches ``path``, else -1."""
+    if pat == "":
+        return -1
+    ends = pat.endswith("$")
+    core = pat[:-1] if ends else pat
+    rx = "^" + ".*".join(re.escape(seg) for seg in core.split("*")) + (
+        "$" if ends else ""
+    )
+    return len(pat) if re.match(rx, path) else -1
+
+
+def robots_denied_py(
+    url: str, disallow: list[str] | None, allow: list[str] | None = None
+) -> bool:
+    """Python twin of :func:`robots_denied_expr` — identical iteration
+    order and tie update, so precedence decisions agree exactly."""
     path = re.sub(r"^[a-z][a-z0-9+.\-]*://[^/?]*", "", url)
-    return any(path.startswith(d) for d in (disallow or []))
+    best_len, best_allow = -1, True
+    for pats, is_allow in ((disallow or [], False), (allow or [], True)):
+        for p in pats:
+            ln = _match_len_py(path, p)
+            if ln < 0:
+                continue
+            if ln > best_len or (ln == best_len and is_allow and not best_allow):
+                best_len, best_allow = ln, is_allow
+    return best_len >= 0 and not best_allow
 
 
 # ---------------------------------------------------------------------------

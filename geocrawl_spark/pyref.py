@@ -53,7 +53,11 @@ class PyRefCrawl:
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
-        self.robots = {r.host: list(r.disallow) for r in robots.itertuples()}
+        # (disallow, allow) rule lists per host; 'allow' column optional
+        self.robots = {
+            r.host: (list(r.disallow), list(getattr(r, "allow", []) or []))
+            for r in robots.itertuples()
+        }
         self.budgets = {r.host: int(r.budget) for r in hostbudget.itertuples()}
         self.carryover = carryover
         self.carry: dict[str, int] = {}  # residual budget credit (H1)
@@ -84,7 +88,8 @@ class PyRefCrawl:
         for u in fresh:
             depth, kind = cands[u]
             host = host_of(u)
-            is_denied = robots_denied_py(u, self.robots.get(host))
+            dis, alw = self.robots.get(host, ([], []))
+            is_denied = robots_denied_py(u, dis, alw)
             denied_by_kind[kind] += is_denied
             rows.append(
                 {

@@ -246,6 +246,50 @@ def robots_gate(spark, sf_dir):
     )
 
 
+# REP precedence gate (RFC 9309): wildcards, $ anchors, longest-match,
+# Allow overrides Disallow.  The oracle re-implements the decision
+# independently: rules as (regex, pattern-length, is_allow) literals,
+# winner = arg_max by (plen, allow-on-tie) over the matching rules.
+@_q(
+    "robots_precedence",
+    """
+    with d as (
+      select doc_id,
+             ['/p/x.html', '/private/y.html', '/private/open/z.html',
+              '/p/17.html', '/p/17.htmlx'][(doc_id % 5 + 1)::int] as path
+      from documents),
+    rules(rx, plen, is_allow) as (values
+      ('^/private/', 9, false),
+      ('^/p/.*7\\.html$', 11, false),
+      ('^/private/open/', 14, true)),
+    m as (select d.doc_id, r.plen, r.is_allow
+          from d left join rules r on regexp_matches(d.path, r.rx))
+    select doc_id,
+           coalesce(not arg_max(is_allow, plen * 2 + is_allow::int), false)
+             as denied
+    from m group by doc_id
+    """,
+)
+def robots_precedence(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://h.org"),
+        F.element_at(
+            F.array(
+                F.lit("/p/x.html"), F.lit("/private/y.html"),
+                F.lit("/private/open/z.html"), F.lit("/p/17.html"),
+                F.lit("/p/17.htmlx"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ),
+    )
+    disallow = F.array(F.lit("/private/"), F.lit("/p/*7.html$"))
+    allow = F.array(F.lit("/private/open/"))
+    return d.select(
+        "doc_id", robots_denied_expr(url, disallow, allow).alias("denied")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational sweep (TPC-H-ish; C/D/E/F coverage)
 # ---------------------------------------------------------------------------

@@ -372,24 +372,120 @@ def sim_bruteforce_topk(spark, sf_dir):
     )
 
 
+#: trained-IVF hyperparameters (shared by sim_ivf_topk,
+#: dedup_embedding_bucketed, media_neardup): K centroids, ITERS Lloyd
+#: steps, queries probe the N_PROBE nearest clusters.
+_IVF_K = 8
+_IVF_ITERS = 2
+_IVF_NPROBE = 2
+
+
+def _ivf_assign_ranked(
+    n: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS
+) -> DataFrame:
+    """(vec_id, e, nrm) -> (vec_id, cid, rk): per-vector centroid ranking
+    under TRAINED centroids (rk=1 is cluster membership; rk<=p implements
+    multi-probe search).
+
+    Training is Lloyd's algorithm (spherical k-means) made deterministic
+    enough to replicate in ANSI SQL (:func:`_ivf_sql_ctes` is its exact
+    DuckDB twin): init = the first ``k`` vectors; each step assigns by
+    cosine ROUNDED to 6dp (ties -> lowest cid) and recomputes each
+    centroid as the per-dimension mean ROUNDED to 6dp — the roundings make
+    Spark's and DuckDB's float-summation orders observably identical —
+    and an emptied cluster keeps its previous centroid.
+
+    Scale shape: centroids stay a k-row DataFrame that is BROADCAST into
+    the scoring cross join; the mean recomputation is a (cid, dim) groupBy
+    whose output is k x dim rows.  No driver collect, no all-pairs join —
+    per Lloyd step the corpus is scanned once.
+    """
+    cent = n.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+
+    def ranked(c):
+        scored = n.crossJoin(F.broadcast(c)).select(
+            "vec_id",
+            "cid",
+            F.round(
+                _dot(F.col("e"), F.col("ce"))
+                / (F.col("nrm") * F.sqrt(_dot(F.col("ce"), F.col("ce")))),
+                6,
+            ).alias("c_cos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+        return scored.withColumn("rk", F.row_number().over(w))
+
+    for _ in range(iters):
+        assign = ranked(cent).filter(F.col("rk") == 1).select("vec_id", "cid")
+        means = (
+            n.join(assign, "vec_id")
+            .select("cid", F.posexplode("e").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("mv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("ce_new")
+            )
+        )
+        cent = cent.join(means, "cid", "left").select(
+            "cid", F.coalesce("ce_new", "ce").alias("ce")
+        )
+    return ranked(cent).select("vec_id", "cid", "rk")
+
+
+def _ivf_sql_ctes(
+    k: int = _IVF_K, iters: int = _IVF_ITERS, v_sql: str | None = None
+) -> str:
+    """CTE chain ``v, n, cent0..cent{iters}, assign`` — the DuckDB twin of
+    :func:`_ivf_assign_ranked` (identical init, rounding, tie-breaks, and
+    empty-cluster carry), shared by every trained-IVF oracle.  ``v_sql``
+    overrides the vector source (must yield ``(vec_id, e DOUBLE[])``;
+    default: the embeddings table)."""
+
+    def score(cent: str) -> str:
+        return (
+            f"select n.vec_id, c.cid, row_number() over (partition by n.vec_id "
+            f"order by round(list_dot_product(n.e, c.ce) / "
+            f"(n.nrm * sqrt(list_dot_product(c.ce, c.ce))), 6) desc, c.cid) as rk "
+            f"from n cross join {cent} c"
+        )
+
+    parts = [
+        "v as ("
+        + (v_sql or "select vec_id, embedding::DOUBLE[] as e from embeddings")
+        + ")",
+        "n as (select vec_id, e, sqrt(list_dot_product(e, e)) as nrm from v)",
+        f"cent0 as (select vec_id as cid, e as ce from n where vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts += [
+            f"asg{i} as (select vec_id, cid from ({score(f'cent{i}')}) where rk = 1)",
+            f"u{i} as (select vec_id, unnest(e) as val, "
+            f"generate_subscripts(e, 1) as dim from n)",
+            f"m{i} as (select a.cid, u{i}.dim, round(avg(u{i}.val), 6) as mv "
+            f"from u{i} join asg{i} a using (vec_id) group by a.cid, u{i}.dim)",
+            f"cent{i + 1} as (select c.cid, coalesce(l.ce, c.ce) as ce "
+            f"from cent{i} c left join (select cid, list(mv order by dim) as ce "
+            f"from m{i} group by cid) l using (cid))",
+        ]
+    parts.append(f"assign as (select vec_id, cid, rk from ({score(f'cent{iters}')}))")
+    return ",\n    ".join(parts)
+
+
 @_q(
     "sim_ivf_topk",
-    """
-    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
-    n as (select vec_id, e, sqrt(list_dot_product(e, e)) as nrm from v),
-    cent as (select vec_id as cid, e as ce, nrm as cn from n where vec_id < 8),
-    assign as (
-      select vec_id, cid from (
-        select n.vec_id, cent.cid,
-               row_number() over (partition by n.vec_id
-                 order by round(list_dot_product(n.e, cent.ce) / (n.nrm * cent.cn), 6)
-                          desc, cent.cid) as rk
-        from n cross join cent) where rk = 1
-    ),
+    f"""
+    with {_ivf_sql_ctes()},
     q as (select n.vec_id as query_id, e as qe, nrm as qn, a.cid
-          from n join assign a using (vec_id) where vec_id % 50 = 0),
+          from n join assign a using (vec_id)
+          where vec_id % 50 = 0 and a.rk <= {_IVF_NPROBE}),
     t as (select n.vec_id as target_id, e as te, nrm as tn, a.cid
-          from n join assign a using (vec_id)),
+          from n join assign a using (vec_id) where a.rk = 1),
     pairs as (
       select query_id, target_id,
              round(list_dot_product(qe, te) / (qn * tn), 3) as cos
@@ -403,37 +499,28 @@ def sim_bruteforce_topk(spark, sf_dir):
     """,
 )
 def sim_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN: assign every vector to its nearest of 8 centroids
-    (deterministic: the first 8 vectors), search only within the query's
-    cluster — the scale path (cluster pruning) vs brute force."""
+    """IVF ANN with TRAINED centroids and multi-probe search: spherical
+    k-means (K=8, 2 deterministic Lloyd steps, :func:`_ivf_assign_ranked`)
+    indexes every vector under its nearest centroid; queries search their
+    ``n_probe=2`` nearest clusters — the scale path (cluster pruning) vs
+    brute force.  Recall vs :func:`sim_bruteforce_topk` is measured by
+    scripts/ivf_recall.py and recorded in BENCH/BASELINE.md."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
-    cent = n.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    ar = _ivf_assign_ranked(n)
+    q = (
+        n.join(ar.filter(F.col("rk") <= _IVF_NPROBE), "vec_id")
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cid",
+        )
     )
-    scored = n.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6).alias(
-            "c_cos"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
-    assign = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cid")
-    )
-    na = n.join(assign, "vec_id")
-    q = na.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
-        "cid",
-    )
-    t = na.select(
+    t = n.join(ar.filter(F.col("rk") == 1), "vec_id").select(
         F.col("vec_id").alias("target_id"),
         F.col("e").alias("te"),
         F.col("nrm").alias("tn"),
@@ -580,10 +667,108 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+#: media near-dup cosine threshold over the 16-dim stub features
+_MEDIA_NEARDUP_THRESH = 0.95
+
+# DuckDB twin of multimodal._decode_stub's feature: the first 16 bytes of
+# sha256(media), each round(byte/255, 4).  The 4dp rounding (also applied
+# Spark-side after the float32 cast) makes float32-vs-double representable
+# margins (>=1e-6) vanish, so both engines feed IDENTICAL doubles into the
+# k-means/cosine math.
+_MEDIA_V_SQL = (
+    "select vec_id, list_transform(range(1, 17), i -> round(("
+    "(strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1) * 16 + "
+    "strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) / 255.0, 4)) as e "
+    "from med"
+)
+
+
+@_q(
+    "media_neardup",
+    f"""
+    with med as (select doc_id as vec_id, sha256(text) as hx
+                 from documents),
+    {_ivf_sql_ctes(v_sql=_MEDIA_V_SQL)},
+    na as (select n.vec_id, e, nrm, a.cid from n join assign a using (vec_id)
+           where a.rk = 1)
+    select a.vec_id as media_a, b.vec_id as media_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 3) as cos
+    from na a join na b on a.cid = b.cid and a.vec_id < b.vec_id
+    where list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+          >= {_MEDIA_NEARDUP_THRESH}
+    """,
+)
+def media_neardup(spark, sf_dir):
+    """Media NEAR-dup beyond exact sha256 (:func:`multimodal.media_dedup`):
+    media bytes -> stub features via the REAL mapInPandas multimodal path
+    (multimodal.extract_features), then the same trained-IVF bucket
+    pipeline as :func:`dedup_embedding_bucketed` — pairs only within a
+    cluster, never all-pairs.  Documents' text bytes stand in for media
+    payloads (the container has no codecs; the decode is the documented
+    deterministic stub — the Spark plumbing is the real path)."""
+    from . import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+    )
+    feats = MM.extract_features(media)
+    v = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.transform(
+            F.col("feature"), lambda x: F.round(x.cast("double"), 4)
+        ).alias("e"),
+    )
+    n = v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    assign = _ivf_assign_ranked(n).filter(F.col("rk") == 1).select("vec_id", "cid")
+    na = n.join(assign, "vec_id")
+    a = na.select(
+        F.col("vec_id").alias("media_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("n_a"), "cid",
+    )
+    b = na.select(
+        F.col("vec_id").alias("media_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("n_b"), "cid",
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .filter(cos >= _MEDIA_NEARDUP_THRESH)
+        .select("media_a", "media_b", F.round(cos, 3).alias("cos"))
+    )
+
+
 #: hard fence for the all-pairs baseline below: it is the executable spec
 #: for dedup_embedding_bucketed, NOT a pipeline op — pointing it at a
 #: corpus larger than this is always a mistake (use the bucketed variant).
 _ALLPAIRS_MAX_VECS = 250_000
+
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Row count read from parquet footers only — no data scan.  Accepts a
+    single file or a directory of part files; None when the path is not
+    readable parquet (caller falls back to a counting job)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
 
 
 @_q(
@@ -607,7 +792,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
-    n_vecs = e.count()
+    # fence from parquet FOOTERS, not a corpus scan (the r2 e.count()
+    # guard itself cost a full pass before every invocation)
+    n_vecs = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    if n_vecs is None:
+        n_vecs = e.count()  # non-parquet source: pay the scan
     if n_vecs > _ALLPAIRS_MAX_VECS:
         raise ValueError(
             f"dedup_embedding_cosine is an all-pairs baseline fenced to "
@@ -627,19 +816,10 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @_q(
     "dedup_embedding_bucketed",
-    """
-    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
-    n as (select vec_id, e, sqrt(list_dot_product(e, e)) as nrm from v),
-    cent as (select vec_id as cid, e as ce, nrm as cn from n where vec_id < 8),
-    assign as (
-      select vec_id, cid from (
-        select n.vec_id, cent.cid,
-               row_number() over (partition by n.vec_id
-                 order by round(list_dot_product(n.e, cent.ce) / (n.nrm * cent.cn), 6)
-                          desc, cent.cid) as rk
-        from n cross join cent) where rk = 1
-    ),
-    na as (select n.vec_id, e, nrm, a.cid from n join assign a using (vec_id))
+    f"""
+    with {_ivf_sql_ctes()},
+    na as (select n.vec_id, e, nrm, a.cid from n join assign a using (vec_id)
+           where a.rk = 1)
     select a.vec_id as vec_a, b.vec_id as vec_b,
            round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 3) as cos
     from na a join na b on a.cid = b.cid and a.vec_id < b.vec_id
@@ -647,32 +827,19 @@ def dedup_embedding_cosine(spark, sf_dir):
     """,
 )
 def dedup_embedding_bucketed(spark, sf_dir):
-    """Embedding near-dup as a PIPELINE op: IVF-bucket first (nearest of 8
-    deterministic centroids, broadcast), then pairs only WITHIN a bucket —
-    an equi-join on cluster id, never a cartesian.  Recall contract: a
+    """Embedding near-dup as a PIPELINE op: IVF-bucket first (TRAINED
+    centroids — same deterministic k-means as :func:`sim_ivf_topk` — with
+    the assignment broadcast-scored), then pairs only WITHIN a bucket — an
+    equi-join on cluster id, never a cartesian.  Recall contract: a
     near-dup pair split across two clusters is missed (standard IVF trade;
-    raise n_probe / centroid count to tighten).  The all-pairs spec it
+    raise n_probe / centroid count to tighten; trained centroids cut the
+    split-pair rate vs the untrained r2 version).  The all-pairs spec it
     approximates is :func:`dedup_embedding_cosine`."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
-    cent = n.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-    )
-    scored = n.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6).alias(
-            "c_cos"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
-    assign = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cid")
-    )
+    assign = _ivf_assign_ranked(n).filter(F.col("rk") == 1).select("vec_id", "cid")
     na = n.join(assign, "vec_id")
     a = na.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),

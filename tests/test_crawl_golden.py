@@ -50,7 +50,7 @@ def _mk_engine(spark, fixtures, tmpdir, mode="exact"):
             fixtures["pages"], "url string, warc_ts timestamp, html binary, text string, lang string"
         ),
         seeds=spark.createDataFrame(fixtures["seeds"]),
-        robots=spark.createDataFrame(fixtures["robots"], "host string, disallow array<string>"),
+        robots=spark.createDataFrame(fixtures["robots"], "host string, disallow array<string>, allow array<string>"),
         hostbudget=spark.createDataFrame(fixtures["budget"]),
         base_dir=str(tmpdir),
         mode=mode,
@@ -219,7 +219,7 @@ def test_round_cap_matches_pyref(spark, fixtures, tmp_path_factory, pyref_run):
             "url string, warc_ts timestamp, html binary, text string, lang string",
         ),
         seeds=spark.createDataFrame(fixtures["seeds"]),
-        robots=spark.createDataFrame(fixtures["robots"], "host string, disallow array<string>"),
+        robots=spark.createDataFrame(fixtures["robots"], "host string, disallow array<string>, allow array<string>"),
         hostbudget=spark.createDataFrame(fixtures["budget"]),
         base_dir=str(tmp_path_factory.mktemp("crawl_cap")),
         n_shards=4, salt=4, m_bits=1 << 18, k=7, round_cap=cap,

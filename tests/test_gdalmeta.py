@@ -87,10 +87,13 @@ def test_extraction_parity(spark):
 
 def test_failed_open_and_b6_coverage():
     """The deterministic fake must cover: failed opens (B3 path), empty raw
-    projection coalesced to WGS84 (B6), netCDF subdataset fan-out."""
-    from geocrawl_spark.gdalmeta import WGS84WKT, UTMWKT
+    projection coalesced to WGS84 (B6), netCDF subdataset fan-out, and
+    every CRS of the proj4 rule table (incl. the non-32633 UTM variant and
+    the GDA94/NAD83/Albers codes added in r3)."""
+    from geocrawl_spark.gdalmeta import _PROJ_CHOICES, WGS84WKT
 
-    n_failed = n_utm = n_wgs = n_multi = 0
+    by_wkt = {w: 0 for w in _PROJ_CHOICES if w}
+    n_failed = n_wgs = n_multi = 0
     for u in COVERAGE_ASSETS:
         g = fake_gdal_file_py(u)
         if len(g["datasets"]) > 1:
@@ -98,11 +101,12 @@ def test_failed_open_and_b6_coverage():
         for ds in g["datasets"]:
             if ds["proj_wkt"] == "":
                 n_failed += 1
-            elif ds["proj_wkt"] == UTMWKT:
-                n_utm += 1
             elif ds["proj_wkt"] == WGS84WKT:
                 n_wgs += 1
-    assert n_failed > 0 and n_utm > 0 and n_wgs > 0 and n_multi > 0
+            elif ds["proj_wkt"] in by_wkt:
+                by_wkt[ds["proj_wkt"]] += 1
+    assert n_failed > 0 and n_wgs > 0 and n_multi > 0
+    assert all(n > 0 for n in by_wkt.values()), by_wkt
 
 
 def test_polygon_corner_math():
@@ -120,6 +124,10 @@ def test_proj4_derived_from_wkt_epsg(spark):
     whole-string lookup: WKTs absent from any literal table still export
     (reference active path: geoparse/geoparser.go:203 poly.Proj4())."""
     from geocrawl_spark.gdalmeta import (
+        ALBERSWKT,
+        GDA94WKT,
+        NAD83WKT,
+        UTM55SWKT,
         UTMWKT,
         WGS84WKT,
         proj4_of_wkt_expr,
@@ -129,11 +137,19 @@ def test_proj4_derived_from_wkt_epsg(spark):
     utm17s = UTMWKT.replace('"32633"', '"32717"').replace("zone 33N", "zone 17S")
     webmerc = UTMWKT.replace('"32633"', '"3857"')
     no_authority = 'GEOGCS["WGS 84",DATUM["WGS_1984"]]'
-    cases = [WGS84WKT, UTMWKT, utm17s, webmerc, no_authority, ""]
+    cases = [
+        WGS84WKT, UTMWKT, utm17s, UTM55SWKT, GDA94WKT, NAD83WKT, ALBERSWKT,
+        webmerc, no_authority, "",
+    ]
     want = [
         "+proj=longlat +datum=WGS84 +no_defs ",
         "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs ",
         "+proj=utm +zone=17 +south +datum=WGS84 +units=m +no_defs ",
+        "+proj=utm +zone=55 +south +datum=WGS84 +units=m +no_defs ",
+        "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +no_defs ",
+        "+proj=longlat +datum=NAD83 +no_defs ",
+        "+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132 +x_0=0 +y_0=0 "
+        "+ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs ",
         "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
         "+y_0=0 +k=1 +units=m +nadgrids=@null +wgs84=0,0,0,0,0,0,0 "
         "+no_defs ",

@@ -88,6 +88,45 @@ def test_robots_both_dialects(spark):
     assert got == [w for _, _, w in cases]
 
 
+def test_robots_precedence_both_dialects(spark):
+    """REP longest-match precedence (RFC 9309): wildcards, $ anchors,
+    Allow-overrides-Disallow, tie -> Allow; identical in both dialects,
+    including via the precomputed-rules fast path the engine uses."""
+    from geocrawl_spark.politeness import (
+        robots_denied_rules_expr,
+        robots_rules_expr,
+    )
+
+    cases = [
+        ("http://h/private/open/x.html", ["/private/"], ["/private/open/"], False),
+        ("http://h/private/other.html", ["/private/"], ["/private/open/"], True),
+        ("http://h/p/0.html", ["/"], ["/p/0.html$"], False),
+        ("http://h/p/0.html?x", ["/"], ["/p/0.html$"], True),  # anchor miss
+        ("http://h/p/17.html", ["/p/*7.html$"], [], True),
+        ("http://h/p/17.htmlx", ["/p/*7.html$"], [], False),  # $ anchor
+        ("http://h/p/8.html", ["/p/*7.html$"], [], False),
+        ("http://h/fish.php", ["/*.php"], [], True),
+        ("http://h/a.+b(c)", ["/a.+b(c)"], [], True),  # metachars literal
+        ("http://h/axxb", ["/a.+b"], [], False),  # '.' not a wildcard
+        ("http://h/ab", ["/ab"], ["/ab"], False),  # equal length -> allow
+        ("http://h/a", [""], [], False),  # empty pattern ignored
+    ]
+    for url, dis, alw, want in cases:
+        assert robots_denied_py(url, dis, alw) is want, (url, dis, alw)
+    df = spark.createDataFrame(
+        [(u, d, a) for u, d, a, _ in cases],
+        "url string, disallow array<string>, allow array<string>",
+    )
+    for expr in (
+        robots_denied_expr(F.col("url"), F.col("disallow"), F.col("allow")),
+        robots_denied_rules_expr(
+            F.col("url"), robots_rules_expr(F.col("disallow"), F.col("allow"))
+        ),
+    ):
+        got = [r["d"] for r in df.select(expr.alias("d")).collect()]
+        assert got == [w for _, _, _, w in cases]
+
+
 def test_global_sequence_matches_global_sort(spark, tmp_path):
     """Distributed fetch_seq rank == the naive single-partition global
     window, its physical plan contains NO SinglePartition exchange, and
