@@ -102,6 +102,7 @@ def _synthetic_inputs(spark, n: int):
         F.when(F.col("id") % 11 == 0, F.array(F.lit("/private/")))
         .otherwise(F.array().cast("array<string>"))
         .alias("disallow"),
+        F.array().cast("array<string>").alias("allow"),
     )
     return raw, budgets, robots
 
@@ -222,10 +223,16 @@ def frontier_round(
             frontier, shards, "bloom", N_SHARDS, 1 << 24, 7
         )
     fresh = fresh.withColumn("host", host_expr(F.col("url")))
+    # REP rules precompiled on the per-host dimension (as the engine does):
+    # the per-URL hot path only matches, never builds regexes
+    robots_rules = robots.select(
+        "host",
+        pol.robots_rules_expr(F.col("disallow"), F.col("allow")).alias("_rules"),
+    )
     gated = (
-        fresh.join(F.broadcast(robots), "host", "left")
+        fresh.join(F.broadcast(robots_rules), "host", "left")
         .withColumn(
-            "denied", pol.robots_denied_expr(F.col("url"), F.col("disallow"))
+            "denied", pol.robots_denied_rules_expr(F.col("url"), F.col("_rules"))
         )
         .filter(~F.col("denied"))
         .withColumn("priority", F.col("depth"))

@@ -249,7 +249,10 @@ class CrawlEngine:
             .select("url", "host", "depth", "kind", "denied")
             .persist()
         )
-        flagged.count()  # materialize once (also executes the seen filter)
+        # no eager count here: the stats collect below materializes the
+        # seen-filter parents (they are persisted), and the caller's first
+        # action on ``flagged`` caches the robots join — an extra count
+        # would only add one more full driver-blocking job per round
         stats = stats_fn()
         return flagged, persist_state, parents, stats
 

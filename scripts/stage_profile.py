@@ -40,9 +40,12 @@ spark = get_spark(
     },
 )
 spark.sparkContext.setLogLevel("ERROR")
-dt, n = bench.frontier_round(
-    spark, warmup=True, strategy=os.environ["GC_STRATEGY"]
-)
+if os.environ["GC_STRATEGY"] == "engine":
+    dt, n, _splits = bench.engine_round(spark, warmup=True)
+else:
+    dt, n = bench.frontier_round(
+        spark, warmup=True, strategy=os.environ["GC_STRATEGY"]
+    )
 print(json.dumps({"wall_sec": dt, "urls": n}))
 spark.stop()
 """
@@ -110,30 +113,34 @@ def run_level(cpus: int, strategy: str, n_urls: int) -> dict:
 def main():
     strategy = sys.argv[1] if len(sys.argv) > 1 else "bitword"
     n_urls = int(os.environ.get("BENCH_FRONTIER_URLS", 4_000_000))
-    r8 = run_level(8, strategy, n_urls)
-    print(json.dumps(r8), flush=True)
-    r32 = run_level(32, strategy, n_urls)
-    print(json.dumps(r32), flush=True)
+    lo, hi = (
+        int(x) for x in os.environ.get("BENCH_LEVELS", "8,32").split(",")
+    )
+    rlo = run_level(lo, strategy, n_urls)
+    print(json.dumps(rlo), flush=True)
+    rhi = run_level(hi, strategy, n_urls)
+    print(json.dumps(rhi), flush=True)
     summary = {
         "strategy": strategy,
         "n_urls": n_urls,
-        "wall_ratio_8_over_32": round(r8["wall_sec"] / r32["wall_sec"], 2),
-        "cpu_work_ratio_32_over_8": round(
-            r32["cpu_core_sec"] / max(r8["cpu_core_sec"], 0.1), 2
+        "levels": [lo, hi],
+        "wall_ratio_lo_over_hi": round(rlo["wall_sec"] / rhi["wall_sec"], 2),
+        "cpu_work_ratio_hi_over_lo": round(
+            rhi["cpu_core_sec"] / max(rlo["cpu_core_sec"], 0.1), 2
         ),
-        "local8": r8,
-        "local32": r32,
+        f"local{lo}": rlo,
+        f"local{hi}": rhi,
     }
     print(json.dumps(summary))
     if "--record" in sys.argv:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(
                 f"\nStage profile ({strategy}, {n_urls} urls): wall "
-                f"{r8['wall_sec']}s@8c -> {r32['wall_sec']}s@32c "
-                f"(speedup {summary['wall_ratio_8_over_32']}x); total CPU work "
-                f"{r8['cpu_core_sec']} -> {r32['cpu_core_sec']} core-sec "
-                f"(ratio {summary['cpu_work_ratio_32_over_8']}); shuffle "
-                f"{r8['shuffle_write_mb']}MB written both levels.\n"
+                f"{rlo['wall_sec']}s@{lo}c -> {rhi['wall_sec']}s@{hi}c "
+                f"(speedup {summary['wall_ratio_lo_over_hi']}x); total CPU work "
+                f"{rlo['cpu_core_sec']} -> {rhi['cpu_core_sec']} core-sec "
+                f"(ratio {summary['cpu_work_ratio_hi_over_lo']}); shuffle "
+                f"{rlo['shuffle_write_mb']}MB written both levels.\n"
             )
 
 
