@@ -73,6 +73,12 @@ COUNTER_KEYS = [
 #: - abucket:       anti-join against a PERSISTENT round-partitioned bucketed
 #:                  store; per-round state write is an O(fresh) partition
 #:                  append, never an O(seen) snapshot (the 10^10 mode)
+#:
+#: Mode guidance: exact/bloom/anti/bitword keep their seen state as a
+#: per-round snapshot table (write cost O(seen), growing with the crawl) —
+#: right for golden tests, debugging, and crawls below ~10^8 URLs.
+#: ``abucket`` is the PRODUCTION mode: its per-round write is O(fresh) and
+#: its membership join never shuffles the seen side.
 SEEN_MODES = ("exact", "bloom", "anti", "bitword", "abucket")
 
 
@@ -135,21 +141,30 @@ class CrawlEngine:
         k: int = 7,
         round_cap: int | None = None,
         n_buckets: int = 64,
+        round_seconds: int = 60,
     ):
         self.spark = spark
         self.pages = pages.persist()
         self.seeds = seeds
-        # robots(host, disallow[, allow]): REP longest-match rules with
-        # wildcards and Allow-overrides-Disallow (politeness.py).  The
-        # pattern->regex conversion is precomputed HERE, on the one-row-
+        # robots(host, disallow[, allow[, crawl_delay]]): REP longest-match
+        # rules with wildcards and Allow-overrides-Disallow (politeness.py).
+        # The pattern->regex conversion is precomputed HERE, on the one-row-
         # per-host broadcast dimension, so the admission hot path only
         # matches (plain prefixes via startswith, no per-URL regex build).
         if "allow" not in robots.columns:
             robots = robots.withColumn("allow", F.array().cast("array<string>"))
+        if "crawl_delay" not in robots.columns:
+            robots = robots.withColumn("crawl_delay", F.lit(None).cast("long"))
         self.robots = robots.withColumn(
             "_rules", pol.robots_rules_expr(F.col("disallow"), F.col("allow"))
         ).persist()
         self.hostbudget = hostbudget.persist()
+        #: Crawl-delay mapping for a round-based engine: a host advertising
+        #: ``crawl_delay`` seconds gets at most
+        #: max(1, floor(round_seconds / crawl_delay)) fetches per round —
+        #: the fetch rate a serial polite fetcher would sustain over one
+        #: nominal round of ``round_seconds``.
+        self.round_seconds = round_seconds
         self.io = TableIO(base_dir)
         self.mode, self.n_shards, self.salt, self.m_bits, self.k = (
             mode, n_shards, salt, m_bits, k,
@@ -262,16 +277,31 @@ class CrawlEngine:
     def _effective_budget(self, carry: DataFrame) -> DataFrame:
         """(host, budget) with residual carry applied (SURVEY H1: a host
         that under-used its budget in round k gets the leftover — capped
-        at one base budget — as credit in round k+1)."""
+        at one base budget — as credit in round k+1), then capped by the
+        robots crawl-delay rate max(1, floor(round_seconds / delay))."""
         base = self.hostbudget.select(
             "host", F.col("budget").alias("_base")
         )
-        return base.join(carry, "host", "full").select(
-            "host",
-            (
-                F.coalesce(F.col("_base"), F.lit(pol.DEFAULT_BUDGET))
-                + F.coalesce(F.col("carry"), F.lit(0))
-            ).alias("budget"),
+        uncapped = (
+            F.coalesce(F.col("_base"), F.lit(pol.DEFAULT_BUDGET))
+            + F.coalesce(F.col("carry"), F.lit(0))
+        )
+        delay_cap = F.when(
+            F.col("crawl_delay") > 0,
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(self.round_seconds) / F.col("crawl_delay")),
+            ),
+        ).cast("long")
+        return (
+            base.join(carry, "host", "full")
+            .join(self.robots.select("host", "crawl_delay"), "host", "full")
+            .select(
+                "host",
+                F.least(uncapped, F.coalesce(delay_cap, uncapped))
+                .cast("long")
+                .alias("budget"),
+            )
         )
 
     def _new_carry(self, pend_h: DataFrame, done_h: DataFrame, eff: DataFrame) -> DataFrame:

@@ -50,14 +50,22 @@ class PyRefCrawl:
         k: int = 7,
         carryover: bool = True,
         round_cap: int | None = None,
+        round_seconds: int = 60,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
-        # (disallow, allow) rule lists per host; 'allow' column optional
+        # (disallow, allow) rule lists per host; 'allow' and 'crawl_delay'
+        # columns optional
         self.robots = {
             r.host: (list(r.disallow), list(getattr(r, "allow", []) or []))
             for r in robots.itertuples()
         }
+        self.delays: dict[str, int] = {}
+        for r in robots.itertuples():
+            d = getattr(r, "crawl_delay", None)
+            if d is not None and not pd.isna(d) and d > 0:
+                self.delays[r.host] = int(d)
+        self.round_seconds = round_seconds
         self.budgets = {r.host: int(r.budget) for r in hostbudget.itertuples()}
         self.carryover = carryover
         self.carry: dict[str, int] = {}  # residual budget credit (H1)
@@ -138,12 +146,18 @@ class PyRefCrawl:
             )
             h["n_pending"] += 1
 
-        # effective budget = base + residual carry (mirrors engine H1)
-        eff = {
-            h: self.budgets.get(h, DEFAULT_BUDGET)
-            + (self.carry.get(h, 0) if self.carryover else 0)
-            for h in per_host
-        }
+        # effective budget = base + residual carry (mirrors engine H1),
+        # capped by the robots crawl-delay per-round rate (mirrors
+        # CrawlEngine._effective_budget exactly)
+        eff = {}
+        for h in per_host:
+            e = self.budgets.get(h, DEFAULT_BUDGET) + (
+                self.carry.get(h, 0) if self.carryover else 0
+            )
+            d = self.delays.get(h)
+            if d:
+                e = min(e, max(1, self.round_seconds // d))
+            eff[h] = e
         batch = pop_batch_py(pending, eff)
         batch.sort(key=lambda r: (r["priority"], r["url"]))
         if self.round_cap is not None:

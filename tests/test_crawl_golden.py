@@ -283,3 +283,44 @@ def test_kill_resume_identical_abucket(spark, fixtures, tmp_path_factory, pyref_
     eng2.run(max_rounds=50)
     assert eng2.crawl_order() == pyref_run.crawl_order
     assert eng2.seen_urls() == pyref_run.seen_urls()
+
+
+def test_crawl_delay_caps_budget(spark, fixtures, tmp_path_factory, pyref_run):
+    """Robots crawl-delay (opt-in column): a host advertising delay d gets
+    at most max(1, floor(round_seconds/d)) fetches per round.  Engine ==
+    pyref under the delay, and the cap actually BINDS (the schedule
+    differs from the no-delay run) while final coverage is unchanged."""
+    import pandas as pd
+
+    robots = fixtures["robots"].copy()
+    # throttle the two largest hosts hard: 60s round / 40s delay -> 1/round
+    robots["crawl_delay"] = pd.array(
+        [40 if i < 2 else None for i in range(len(robots))], dtype="Int64"
+    )
+    ref = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], robots, fixtures["budget"],
+        round_seconds=60,
+    )
+    ref.run(max_rounds=80)
+    assert ref.crawl_order != pyref_run.crawl_order  # the cap binds
+    assert ref.seen_urls() == pyref_run.seen_urls()  # same coverage
+    eng = CrawlEngine(
+        spark,
+        pages=spark.createDataFrame(
+            fixtures["pages"],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ),
+        seeds=spark.createDataFrame(fixtures["seeds"]),
+        robots=spark.createDataFrame(
+            robots,
+            "host string, disallow array<string>, allow array<string>, "
+            "crawl_delay long",
+        ),
+        hostbudget=spark.createDataFrame(fixtures["budget"]),
+        base_dir=str(tmp_path_factory.mktemp("crawl_delay")),
+        n_shards=4, salt=4, m_bits=1 << 18, k=7, n_buckets=4,
+        round_seconds=60,
+    )
+    eng.run(max_rounds=80)
+    assert eng.crawl_order() == ref.crawl_order
+    assert eng.seen_urls() == ref.seen_urls()
