@@ -286,13 +286,9 @@ class CrawlEngine:
             F.coalesce(F.col("_base"), F.lit(pol.DEFAULT_BUDGET))
             + F.coalesce(F.col("carry"), F.lit(0))
         )
-        delay_cap = F.when(
-            F.col("crawl_delay") > 0,
-            F.greatest(
-                F.lit(1),
-                F.floor(F.lit(self.round_seconds) / F.col("crawl_delay")),
-            ),
-        ).cast("long")
+        delay_cap = pol.crawl_delay_cap_expr(
+            F.col("crawl_delay"), self.round_seconds
+        )
         return (
             base.join(carry, "host", "full")
             .join(self.robots.select("host", "crawl_delay"), "host", "full")

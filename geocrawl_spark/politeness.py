@@ -126,6 +126,18 @@ def robots_denied_expr(
     return robots_denied_rules_expr(url, robots_rules_expr(disallow, allow))
 
 
+def crawl_delay_cap_expr(delay: Column, round_seconds: int) -> Column:
+    """Per-round fetch cap for a robots crawl-delay of ``delay`` seconds:
+    max(1, floor(round_seconds / delay)) — the rate a serial polite
+    fetcher sustains over one nominal round; NULL (no cap) when the host
+    advertises no positive delay.  Shared by CrawlEngine._effective_budget
+    and the ``effective_budget`` oracle query."""
+    return F.when(
+        delay > 0,
+        F.greatest(F.lit(1), F.floor(F.lit(round_seconds) / delay)),
+    ).cast("long")
+
+
 def _match_len_py(path: str, pat: str) -> int:
     """Raw-pattern length when ``pat`` matches ``path``, else -1."""
     if pat == "":

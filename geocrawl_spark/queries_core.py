@@ -290,6 +290,42 @@ def robots_precedence(spark, sf_dir):
     )
 
 
+# effective politeness budget under crawl-delay (H1 + robots crawl-delay):
+# eff = least(base + carry, max(1, floor(round_seconds / delay))), no cap
+# when no positive delay — the exact expression CrawlEngine uses
+# (politeness.crawl_delay_cap_expr), driven over synthetic per-host inputs.
+@_q(
+    "effective_budget",
+    """
+    select s_suppkey::bigint as host_id,
+           least(
+             s_suppkey % 5 + 1 + s_suppkey % 3,
+             coalesce(
+               case when s_suppkey % 4 <> 0
+                    then greatest(1, floor(60 / ((s_suppkey % 4) * 15))::bigint)
+               end,
+               s_suppkey % 5 + 1 + s_suppkey % 3)
+           )::bigint as budget
+    from supplier
+    """,
+)
+def effective_budget(spark, sf_dir):
+    from .politeness import crawl_delay_cap_expr
+
+    s = _t(spark, sf_dir, "supplier")
+    base = F.col("s_suppkey") % 5 + 1
+    carry = F.col("s_suppkey") % 3
+    delay = F.when(
+        F.col("s_suppkey") % 4 != 0, (F.col("s_suppkey") % 4) * 15
+    )  # 15/30/45s delays; every 4th host advertises none
+    uncapped = base + carry
+    cap = crawl_delay_cap_expr(delay, round_seconds=60)
+    return s.select(
+        F.col("s_suppkey").cast("long").alias("host_id"),
+        F.least(uncapped, F.coalesce(cap, uncapped)).cast("long").alias("budget"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational sweep (TPC-H-ish; C/D/E/F coverage)
 # ---------------------------------------------------------------------------
