@@ -50,6 +50,12 @@ class TableIO:
         # partition maps staged by write_table_delta until commit_round
         # makes them durable (the manifest rename is the commit point)
         self._staged_partmaps: dict[tuple[str, int], dict[str, int]] = {}
+        # tables actually written this process, per (name, round): the
+        # manifest's per-round table list is built from this, so a round
+        # that skipped a stage (e.g. the n_fetched==0 fast path writes no
+        # 'extracted') never declares a table it did not write —
+        # read_table(name, round) on a declared table always succeeds
+        self._written: set[tuple[str, int]] = set()
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -86,6 +92,12 @@ class TableIO:
 
     def write_table(self, df: DataFrame, name: str, round_no: int) -> None:
         df.write.mode("overwrite").parquet(self._table_path(name, round_no))
+        self.mark_written(name, round_no)
+
+    def mark_written(self, name: str, round_no: int) -> None:
+        """Record a table written outside write_table (e.g. the engine's
+        global_sequence range files) so commit_round can declare it."""
+        self._written.add((name, round_no))
 
     # -- partitioned MERGE-style writes (Iceberg row-level-update analog) ----
     def write_table_delta(
@@ -116,6 +128,7 @@ class TableIO:
         df.withColumn("_part", F.col(part_col)).write.mode("overwrite").partitionBy(
             "_part"
         ).parquet(self._table_path(name, round_no))
+        self.mark_written(name, round_no)
         new_map = dict(prev)
         for t in touched:
             new_map[str(t)] = round_no
@@ -142,10 +155,17 @@ class TableIO:
         return spark.read.parquet(self._table_path(name, round_no))
 
     def commit_round(self, round_no: int, tables: list[str]) -> None:
+        """Commit: ``tables`` is the candidate list; only those actually
+        written this round (tracked by mark_written) are declared, so the
+        manifest stays an accurate inventory — a fast-path round that
+        skipped a stage never declares the table that stage would have
+        written (resume/rollback tooling can trust the list)."""
         m = self._read_manifest()
         if round_no not in m["committed"]:
             m["committed"].append(round_no)
-        m["tables"][str(round_no)] = tables
+        m["tables"][str(round_no)] = [
+            t for t in tables if (t, round_no) in self._written
+        ]
         for (name, rno), pmap in list(self._staged_partmaps.items()):
             if rno == round_no:
                 m.setdefault("partitions", {}).setdefault(name, {})[str(rno)] = pmap

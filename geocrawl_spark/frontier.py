@@ -414,6 +414,9 @@ class CrawlEngine:
             ["priority", "url"],
             self.io._table_path("batch", round_no),
         )
+        # global_sequence wrote its range files outside TableIO — record
+        # the write so commit_round can truthfully declare the table
+        self.io.mark_written("batch", round_no)
         if self.round_cap is not None:
             batch = batch.filter(F.col("fetch_seq") <= self.round_cap)
 

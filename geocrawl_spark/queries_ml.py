@@ -392,8 +392,12 @@ def _ivf_assign_ranked(
     DuckDB twin): init = the first ``k`` vectors; each step assigns by
     cosine ROUNDED to 6dp (ties -> lowest cid) and recomputes each
     centroid as the per-dimension mean ROUNDED to 6dp — the roundings make
-    Spark's and DuckDB's float-summation orders observably identical —
-    and an emptied cluster keeps its previous centroid.
+    Spark's and DuckDB's float-summation orders agree in practice (a mean
+    landing exactly on a 6dp half-boundary could still round differently
+    per engine and flip one assignment; not observed at any tested scale —
+    media_neardup additionally rounds its INPUTS to 4dp, which removes the
+    hazard entirely for that query) — and an emptied cluster keeps its
+    previous centroid.
 
     Scale shape: centroids stay a k-row DataFrame that is BROADCAST into
     the scoring cross join; the mean recomputation is a (cid, dim) groupBy
@@ -750,11 +754,18 @@ def media_neardup(spark, sf_dir):
 _ALLPAIRS_MAX_VECS = 250_000
 
 
+#: directory entries that carry no rows and may sit beside the part files
+_PARQUET_SIDECARS = ("_SUCCESS", "_metadata", "_common_metadata")
+
+
 def _parquet_num_rows(path: str) -> int | None:
     """Row count read from parquet footers only — no data scan.  Accepts a
-    single file or a directory of part files; None when the path is not
-    readable parquet (caller falls back to a counting job)."""
-    import glob
+    single file or a FLAT directory of part files; returns None — forcing
+    the caller's counting-job fallback — whenever the footers cannot
+    account for every row: the directory nests subdirectories (partitioned
+    layout) or contains data files that are not parquet.  (ADVICE r3: a
+    partitioned dir with a few top-level files used to silently
+    undercount, which could bypass the all-pairs fence below.)"""
     import os
 
     import pyarrow.parquet as pq
@@ -762,7 +773,20 @@ def _parquet_num_rows(path: str) -> int | None:
     if os.path.isfile(path):
         files = [path]
     else:
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        try:
+            entries = sorted(os.listdir(path))
+        except OSError:
+            return None
+        files = []
+        for e in entries:
+            full = os.path.join(path, e)
+            if os.path.isdir(full):
+                return None  # partitioned/nested layout: footers can't account
+            if e in _PARQUET_SIDECARS or e.endswith(".crc") or e.startswith("."):
+                continue
+            if not e.endswith(".parquet"):
+                return None  # unaccountable data file
+            files.append(full)
     if not files:
         return None
     try:

@@ -355,7 +355,6 @@ def ensure_seen_store(
 
     name = seen_store_name(base_dir)
     loc = os.path.join(os.path.abspath(base_dir), "seen_store")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if fresh:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(loc, ignore_errors=True)
@@ -428,9 +427,24 @@ def filter_and_update_abucket(
     )
 
     def append_fn() -> None:
-        fresh.select(
-            "h1", F.lit(round_no).cast("long").alias("round")
-        ).write.mode("overwrite").insertInto(table)
+        # dynamic overwrite scoped to THIS write (ADVICE r3: permanently
+        # setting the session conf silently changes overwrite semantics of
+        # unrelated partitioned writes in the same user session): only the
+        # round=round_no partition is replaced — idempotent re-runs — and
+        # every other partition is untouched.  The conf is set/restored
+        # around the write because the DataFrameWriter-level option is not
+        # consulted by the self-read overwrite analysis check (Spark
+        # rejects overwrite-of-a-read-table unless the SESSION mode is
+        # dynamic), so a writer option alone cannot express this insert.
+        conf = spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            fresh.select(
+                "h1", F.lit(round_no).cast("long").alias("round")
+            ).write.mode("overwrite").insertInto(table)
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return fresh.select("url", "depth", "kind"), stats, [w_cand, fresh], append_fn
 

@@ -48,9 +48,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        # abucket seen store: overwrite-insert replaces ONLY the partitions
-        # present in the written df (idempotent per-round re-runs)
-        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # NOTE: partitionOverwriteMode stays at the Spark default (static);
+        # the abucket seen-store append scopes dynamic mode to its own
+        # write via DataFrameWriter.option (seen.py) so session overwrite
+        # semantics are never silently changed (ADVICE r3).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

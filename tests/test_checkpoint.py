@@ -118,6 +118,9 @@ def test_no_orphan_round_dirs_after_crawl(spark, tmp_path):
         rno = rdir.lstrip("r")
         declared = set(m["tables"][rno])
         on_disk = set(os.listdir(os.path.join(rounds_dir, rdir)))
-        assert on_disk <= declared, (rdir, on_disk - declared)
+        # BOTH directions: no orphan dirs AND no declared-but-never-written
+        # tables (ADVICE r3: fast-path rounds used to declare 'extracted'
+        # etc. without writing them, breaking read_table on the manifest)
+        assert on_disk == declared, (rdir, on_disk ^ declared)
         seen += 1
     assert seen >= 3  # a real multi-round crawl ran
