@@ -26,13 +26,21 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from geocrawl_spark.queries_ml import _IVF_NPROBE, _ivf_sql_ctes  # noqa: E402
+from geocrawl_spark.queries_ml import (  # noqa: E402
+    _IVF_BUCKET_CAP,
+    _IVF_NPROBE,
+    _ivf_k_of,
+    _ivf_sql_ctes,
+    _na_capped_sql,
+    _parquet_num_rows,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _untrained_ctes() -> str:
-    """The r2 formulation: centroids = first 8 vectors, no Lloyd steps."""
+    """The r2 formulation: centroids = first K vectors, no Lloyd steps
+    (K is corpus-derived since r4, identically for both formulations)."""
     return _ivf_sql_ctes(iters=0)
 
 
@@ -79,11 +87,21 @@ _TRUE_PAIRS = """
 def _pairs_sql(ctes: str) -> str:
     return f"""
     with {ctes},
-    na as (select n.vec_id, e, nrm, a.cid from n join assign a using (vec_id)
-           where a.rk = 1)
+    {_na_capped_sql()}
     select a.vec_id as vec_a, b.vec_id as vec_b
     from na a join na b on a.cid = b.cid and a.vec_id < b.vec_id
     where list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+    """
+
+
+def _drop_total_sql(ctes: str) -> str:
+    """Total vectors excluded from pair generation by the per-bucket cap
+    (the 'no silent truncation' report)."""
+    return f"""
+    with {ctes},
+    a1 as (select cid from assign where rk = 1)
+    select coalesce(sum(greatest(n - {_IVF_BUCKET_CAP}, 0)), 0)::bigint
+    from (select cid, count(*) as n from a1 group by cid)
     """
 
 
@@ -98,6 +116,8 @@ def main():
     rows = []
     for sf in ("0.01", "0.1"):
         path = f"/root/testdata/sf{sf}/embeddings.parquet"
+        n_vecs = _parquet_num_rows(path)
+        k = _ivf_k_of(n_vecs)
         con = duckdb.connect()
         con.sql(f"create view embeddings as select * from '{path}'")
         trained, untrained = _ivf_sql_ctes(), _untrained_ctes()
@@ -105,13 +125,17 @@ def main():
         r_topk_u, h2, t2 = _recall(con, _topk_sql(untrained, 1), _TRUE_TOPK)
         r_pairs, h3, t3 = _recall(con, _pairs_sql(trained), _TRUE_PAIRS)
         r_pairs_u, h4, t4 = _recall(con, _pairs_sql(untrained), _TRUE_PAIRS)
+        (dropped,) = con.sql(_drop_total_sql(trained)).fetchone()
         rows.append(
-            (sf, r_topk, f"{h1}/{t1}", r_topk_u, r_pairs, f"{h3}/{t3}", r_pairs_u)
+            (sf, k, r_topk, f"{h1}/{t1}", r_topk_u, r_pairs, f"{h3}/{t3}",
+             r_pairs_u, dropped)
         )
         print(
-            f"sf{sf}: topk recall trained(np=2)={r_topk:.3f} ({h1}/{t1}) "
+            f"sf{sf}: n={n_vecs} K={k} (corpus-derived); "
+            f"topk recall trained(np=2)={r_topk:.3f} ({h1}/{t1}) "
             f"untrained(np=1)={r_topk_u:.3f}; pair recall trained={r_pairs:.3f} "
-            f"({h3}/{t3}) untrained={r_pairs_u:.3f}",
+            f"({h3}/{t3}) untrained={r_pairs_u:.3f}; "
+            f"bucket-cap dropped={dropped}",
             flush=True,
         )
 
@@ -119,18 +143,22 @@ def main():
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"\n### IVF recall vs brute force ({stamp}, scripts/ivf_recall.py)\n\n"
-            "Trained = spherical k-means (K=8, 2 deterministic Lloyd steps) "
-            "with n_probe=2; untrained = the round-2 formulation (first 8 "
-            "vectors as centroids, n_probe=1).  Ground truth: brute-force "
-            "cosine top-3 (same query set) / all >=0.4 pairs.\n\n"
-            "| sf | top-3 recall trained | (hits) | top-3 untrained | "
-            "pair recall trained | (hits) | pair untrained |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "Trained = spherical k-means (K corpus-derived = "
+            "max(8, ceil(n/125)), 2 deterministic Lloyd steps) with "
+            "n_probe=2; untrained = same derived K, no Lloyd steps, "
+            "n_probe=1.  Ground truth: brute-force cosine top-3 (same "
+            "query set) / all >=0.4 pairs.  'dropped' = vectors excluded "
+            "from pair generation by the per-bucket cap "
+            f"({_IVF_BUCKET_CAP}) — the no-silent-truncation report "
+            "(also an oracle query: ivf_bucket_stats).\n\n"
+            "| sf | K | top-3 recall trained | (hits) | top-3 untrained | "
+            "pair recall trained | (hits) | pair untrained | dropped |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
-        for sf, rt, ht, ru, rp, hp, rpu in rows:
+        for sf, k, rt, ht, ru, rp, hp, rpu, dropped in rows:
             f.write(
-                f"| {sf} | {rt:.3f} | {ht} | {ru:.3f} | {rp:.3f} | {hp} "
-                f"| {rpu:.3f} |\n"
+                f"| {sf} | {k} | {rt:.3f} | {ht} | {ru:.3f} | {rp:.3f} | {hp} "
+                f"| {rpu:.3f} | {dropped} |\n"
             )
 
 
