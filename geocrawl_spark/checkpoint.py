@@ -175,8 +175,19 @@ class TableIO:
     def rollback_to(self, round_no: int) -> None:
         """Drop snapshots after ``round_no`` (used by kill/resume tests).
         Partition maps of surviving rounds only ever reference owner rounds
-        <= their own round, so they stay valid."""
+        <= their own round, so they stay valid.  Refuses to roll back past
+        a seen-store compaction point: hashes merged into the compacted
+        base cannot be un-merged, so states before it are unreachable —
+        the same trade Iceberg's expire_snapshots makes against time
+        travel (seen.compact_seen_store)."""
         m = self._read_manifest()
+        comp = m.get("meta", {}).get("seen_compaction")
+        if comp is not None and round_no < comp["upto"]:
+            raise ValueError(
+                f"cannot roll back to round {round_no}: the seen store was "
+                f"compacted up to round {comp['upto']} (compaction expires "
+                f"earlier states, like Iceberg expire_snapshots)"
+            )
         for r in [r for r in m["committed"] if r > round_no]:
             shutil.rmtree(os.path.join(self.base, "rounds", f"r{r}"), ignore_errors=True)
         m["committed"] = [r for r in m["committed"] if r <= round_no]

@@ -35,14 +35,20 @@ Scale notes (100 TB design point):
 - fetch_seq is a distributed rank (range partition + per-partition
   offsets, :func:`global_sequence`) — no single-partition stage even
   when the round batch is millions of rows;
-- per-round driver-side actions are consolidated: one count on pending,
-  one combined fetch agg, one admission-stats agg read from the persisted
-  cogroup output, plus the snapshot writes.
+- per-round driver-side actions are consolidated AND overlapped: one
+  count on pending, one combined fetch agg (batch size + hits + touched
+  BFS layers in a single job), one admission-stats agg read from the
+  persisted seen-filter output — and every independent snapshot write /
+  stats collect is submitted from a driver thread pool so their Catalyst
+  analysis + scheduling latencies (the engine's fixed per-round cost)
+  overlap instead of summing; the manifest commit happens strictly after
+  all writes return.
 """
 
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -142,9 +148,17 @@ class CrawlEngine:
         round_cap: int | None = None,
         n_buckets: int = 64,
         round_seconds: int = 60,
+        compact_seen_every: int | None = None,
+        cache_pages: bool = False,
     ):
         self.spark = spark
-        self.pages = pages.persist()
+        #: Caching the pages corpus is OPT-IN (small-corpus / test / bench
+        #: convenience): at the 100 TB design point the pages table cannot
+        #: be cached — the per-round fetch join instead relies on the
+        #: pages Iceberg table being BUCKETED BY url (storage-partitioned
+        #: join; see the module scale notes above), so the default leaves
+        #: the scan to the storage layout.
+        self.pages = pages.persist() if cache_pages else pages
         self.seeds = seeds
         # robots(host, disallow[, allow[, crawl_delay]]): REP longest-match
         # rules with wildcards and Allow-overrides-Disallow (politeness.py).
@@ -172,6 +186,11 @@ class CrawlEngine:
         #: abucket mode: bucket count of the persistent seen store (the
         #: Iceberg ``bucket(N, h1)`` width on a real deployment)
         self.n_buckets = n_buckets
+        #: abucket mode: compact the seen store every N committed rounds
+        #: (seen.compact_seen_store — bounds the store's file count, which
+        #: otherwise grows one partition x n_buckets files per round).
+        #: None = never (callers may invoke compact_seen() themselves).
+        self.compact_seen_every = compact_seen_every
         #: E3 global per-round batch ceiling (ORDER BY priority LIMIT n):
         #: per-host budgets alone let a frontier with 10M hosts fetch
         #: 10M x budget pages in one round; the cap bounds the round
@@ -223,7 +242,7 @@ class CrawlEngine:
         One seen-filter pass (strategy per ``self.mode``) does
         within-batch dedup + seen-test + state update + per-kind stats;
         robots are checked on the fresh survivors only.  Returns
-        (flagged, persist_state, parents, stats); ``persist_state()``
+        (flagged, persist_state, parents, stats_fn); ``persist_state()``
         writes this round's seen-state update — a full ``seen_shards``
         snapshot for exact/bloom/anti/bitword, an O(fresh) partition
         append into the bucketed store for abucket.  ``flagged`` is
@@ -264,12 +283,11 @@ class CrawlEngine:
             .select("url", "host", "depth", "kind", "denied")
             .persist()
         )
-        # no eager count here: the stats collect below materializes the
-        # seen-filter parents (they are persisted), and the caller's first
-        # action on ``flagged`` caches the robots join — an extra count
-        # would only add one more full driver-blocking job per round
-        stats = stats_fn()
-        return flagged, persist_state, parents, stats
+        # stats_fn is returned LAZY so the caller can run it CONCURRENTLY
+        # with the denied-count collect (two independent driver-blocking
+        # jobs overlapped in the round's driver thread pool); its first
+        # execution materializes the persisted seen-filter parents
+        return flagged, persist_state, parents, stats_fn
 
     def _empty_carry(self) -> DataFrame:
         return self.spark.createDataFrame([], "host string, carry long")
@@ -335,7 +353,14 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def init_state(self) -> dict:
-        """Round 0: admit the seed list; commit the initial snapshot."""
+        """Round 0: admit the seed list; commit the initial snapshot.
+
+        Independent driver-blocking actions (the two admission stats
+        collects, then the four snapshot writes + seen-state persist) are
+        submitted CONCURRENTLY from a thread pool: each action's Catalyst
+        analysis and job-scheduling latency — the engine's dominant fixed
+        per-round cost — overlaps instead of summing.  The commit point
+        stays strictly after every write has returned."""
         self.io.set_meta(
             "seen_config",
             [self.mode, self.n_shards, self.m_bits, self.k, self.n_buckets],
@@ -346,20 +371,33 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("depth"),
             F.lit("page").alias("kind"),
         )
-        flagged, persist_state, parents, stats = self._admit(seeds, state, 0)
+        flagged, persist_state, parents, stats_fn = self._admit(seeds, state, 0)
         counters = {k: 0 for k in COUNTER_KEYS}
-        pstats = stats.get("page", {"deduped": 0, "fresh": 0})
-        counters["deduped"] = pstats["deduped"]
-        counters["robots_denied"] = flagged.filter(F.col("denied")).count()
-        counters["discovered"] = pstats["fresh"] - counters["robots_denied"]
-        self.io.write_table_delta(
-            self._frontier_rows(flagged, 0), "frontier", 0,
-            "discovered_round", [0], None,
-        )
-        persist_state()
-        self.io.write_table(flagged.select("url", "kind"), "admitted", 0)
-        self.io.write_table(self._empty_carry(), "hostcarry", 0)
-        self._write_counters(counters, 0)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            f_stats = pool.submit(stats_fn)
+            f_denied = pool.submit(flagged.filter(F.col("denied")).count)
+            pstats = f_stats.result().get("page", {"deduped": 0, "fresh": 0})
+            counters["deduped"] = pstats["deduped"]
+            counters["robots_denied"] = f_denied.result()
+            counters["discovered"] = pstats["fresh"] - counters["robots_denied"]
+            writes = [
+                pool.submit(
+                    self.io.write_table_delta,
+                    self._frontier_rows(flagged, 0), "frontier", 0,
+                    "discovered_round", [0], None,
+                ),
+                pool.submit(
+                    self.io.write_table, flagged.select("url", "kind"), "admitted", 0
+                ),
+                pool.submit(self.io.write_table, self._empty_carry(), "hostcarry", 0),
+                pool.submit(self._write_counters, counters, 0),
+            ]
+            for w in writes:
+                w.result()  # propagate failures BEFORE the commit point
+            # AFTER the flagged-scanning writes: the abucket append's
+            # insertInto invalidates cached plans referencing the seen
+            # table (see run_round) — never run it concurrently with them
+            persist_state()
         self.io.commit_round(
             0,
             ["frontier", *self._state_tables(), "admitted", "hostcarry", "crawl_log"],
@@ -424,14 +462,28 @@ class CrawlEngine:
         fetched = batch.join(
             self.pages.select("url", "html", "warc_ts"), "url", "left"
         ).persist()
-        n_batch, n_fetched = fetched.agg(
-            F.count("*"), F.count("html")
+        # ONE combined job: batch size, fetch hits, AND the set of frontier
+        # layers the batch popped from (the MERGE rewrite's `touched` used
+        # to cost a separate distinct+collect job)
+        n_batch, n_fetched, layer_set = fetched.agg(
+            F.count("*"), F.count("html"), F.collect_set("discovered_round")
         ).collect()[0]
+        touched = sorted(int(x) for x in layer_set)
         counters["deferred_politeness"] = n_pending - n_batch
         counters["fetched"] = n_fetched
         counters["missing"] = n_batch - n_fetched
         self._mark(marks, "pop_fetch")
         got = fetched.filter(F.col("html").isNotNull())
+
+        # Independent snapshot writes and stats collects below are
+        # submitted to a driver thread pool: each Spark action pays
+        # Catalyst analysis + job scheduling on its calling thread, and
+        # that fixed latency — not dataflow — dominates the round at
+        # moderate batch sizes, so overlapping the ~10 independent actions
+        # is the single biggest round-latency lever.  `writes` must all
+        # complete (propagating failures) BEFORE the manifest commit.
+        pool = ThreadPoolExecutor(max_workers=8)
+        writes: list = []
 
         if n_fetched == 0:
             # Fast path (common at the crawl tail and after dead rounds):
@@ -448,9 +500,14 @@ class CrawlEngine:
             flagged = self.spark.createDataFrame(
                 [], "url string, host string, depth long, kind string, denied boolean"
             ).persist()
-            parents, parsed = [], None
+            parents, parsed, persist_state = [], None, None
+            f_nassets = f_ndead = None
             if self.mode != "abucket":
-                self.io.write_table(state, "seen_shards", round_no)
+                # carry the unchanged seen state forward — a plain parquet
+                # path write (no catalog invalidation), safe in the pool
+                writes.append(
+                    pool.submit(self.io.write_table, state, "seen_shards", round_no)
+                )
             self._mark(marks, "fastpath_empty_fetch")
         else:
             # --- extract text (byte-identity invariant) + provenance -----
@@ -461,8 +518,10 @@ class CrawlEngine:
                 F.length("html").alias("content_length"),
                 "warc_ts",
             )
-            self.io.write_table(extracted, "extracted", round_no)
-            self._mark(marks, "extract_write")
+            writes.append(
+                pool.submit(self.io.write_table, extracted, "extracted", round_no)
+            )
+            self._mark(marks, "extract_submit")
 
             # --- link fan-out: page + asset candidates in one pass -------
             links = (
@@ -486,21 +545,27 @@ class CrawlEngine:
             )
 
             # --- single admission pass (seen filter + robots) ------------
-            flagged, persist_state, parents, stats = self._admit(cand, state, round_no)
-            self._mark(marks, "admit")
+            flagged, persist_state, parents, stats_fn = self._admit(
+                cand, state, round_no
+            )
+            f_stats = pool.submit(stats_fn)
+            f_denied = pool.submit(
+                lambda: {
+                    r["kind"]: r["n"]
+                    for r in flagged.filter(F.col("denied"))
+                    .groupBy("kind")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            )
+            stats = f_stats.result()
+            denied_counts = f_denied.result()
+            self._mark(marks, "admit_stats")
             p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
             a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
-            denied_counts = {
-                r["kind"]: r["n"]
-                for r in flagged.filter(F.col("denied"))
-                .groupBy("kind")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
             counters["deduped"] = p["deduped"] + a["deduped"]
             counters["robots_denied"] = sum(denied_counts.values())
             counters["discovered"] = p["fresh"] - denied_counts.get("page", 0)
-            self._mark(marks, "denied_counts")
 
             # --- asset extraction + parse stage --------------------------
             if a["fresh"] - denied_counts.get("asset", 0) > 0:
@@ -508,20 +573,28 @@ class CrawlEngine:
                     (F.col("kind") == "asset") & ~F.col("denied")
                 ).select(F.col("url").alias("asset_url"))
                 meta, dead, parsed = self._extract_assets(allowed_assets, round_no)
-                self.io.write_table(meta, "metadata", round_no)
-                self.io.write_table(dead, "dead_letters", round_no)
-                counters["assets_extracted"] = (
-                    meta.select("asset_url").distinct().count()
+                writes.append(
+                    pool.submit(self.io.write_table, meta, "metadata", round_no)
                 )
-                counters["dead_letters"] = dead.count()
+                writes.append(
+                    pool.submit(self.io.write_table, dead, "dead_letters", round_no)
+                )
+                # resolved just before the counters write — the two count
+                # jobs overlap the host-lineage and frontier submissions
+                f_nassets = pool.submit(meta.select("asset_url").distinct().count)
+                f_ndead = pool.submit(dead.count)
             else:
                 parsed = None  # no admitted assets -> parse stage is empty
-            self._mark(marks, "assets")
+                f_nassets = f_ndead = None
+            self._mark(marks, "assets_submitted")
 
-            self.io.write_table(flagged.select("url", "kind"), "admitted", round_no)
-            self._mark(marks, "admitted_write")
-            persist_state()  # abucket: O(fresh) partition append, not O(seen)
-            self._mark(marks, "seen_persist")
+            writes.append(
+                pool.submit(
+                    self.io.write_table,
+                    flagged.select("url", "kind"), "admitted", round_no,
+                )
+            )
+            self._mark(marks, "tail_submitted")
 
         # --- per-host lineage (north_rule: per-partition lineage+metrics;
         # the salted host partition is the politeness/parallelism unit) ---
@@ -542,11 +615,14 @@ class CrawlEngine:
             .cast("long")
             .alias("deferred_politeness"),
         )
-        self.io.write_table(host_log, "host_log", round_no)
-        self.io.write_table(
-            self._new_carry(pend_h, done_h, eff_budget), "hostcarry", round_no
+        writes.append(pool.submit(self.io.write_table, host_log, "host_log", round_no))
+        writes.append(
+            pool.submit(
+                self.io.write_table,
+                self._new_carry(pend_h, done_h, eff_budget), "hostcarry", round_no,
+            )
         )
-        self._mark(marks, "host_lineage")
+        self._mark(marks, "host_lineage_submitted")
 
         # --- frontier update: MERGE-style partial rewrite ----------------
         # The frontier is partitioned by discovered_round (BFS layer).  A
@@ -564,22 +640,38 @@ class CrawlEngine:
             F.lit(round_no).cast("long").alias("fetch_round"),
             "fetch_seq",
         )
-        touched = [
-            int(r["discovered_round"])
-            for r in batch_done.select("discovered_round").distinct().collect()
-        ]
+        # `touched` came from the combined fetch agg above — no extra job
         rewritten = (
             frontier.filter(F.col("discovered_round").isin(touched))
             .join(batch_done.select("url"), "url", "left_anti")
             .unionByName(batch_done)
             .unionByName(self._frontier_rows(flagged, round_no))
         )
-        self.io.write_table_delta(
-            rewritten, "frontier", round_no,
-            "discovered_round", touched + [round_no], round_no - 1,
+        writes.append(
+            pool.submit(
+                self.io.write_table_delta,
+                rewritten, "frontier", round_no,
+                "discovered_round", touched + [round_no], round_no - 1,
+            )
         )
-        self._mark(marks, "frontier_rewrite")
-        self._write_counters(counters, round_no)
+        if f_nassets is not None:
+            counters["assets_extracted"] = f_nassets.result()
+            counters["dead_letters"] = f_ndead.result()
+        writes.append(pool.submit(self._write_counters, counters, round_no))
+        for w in writes:
+            w.result()  # propagate any write failure BEFORE the commit
+        self._mark(marks, "writes_joined")
+        # Seen-state persist runs strictly AFTER every pooled write that
+        # scans `flagged`/`fresh` has completed: the abucket append is an
+        # insertInto on the seen-store CATALOG table, which invalidates
+        # cached plans referencing that table (the admission anti-join
+        # feeding flagged) — running it concurrently yanks cached blocks
+        # from under the in-flight writes (BlockNotFound).  Serial cost is
+        # the one O(fresh) partition append.
+        if persist_state is not None:
+            persist_state()
+        pool.shutdown(wait=True)
+        self._mark(marks, "seen_persist")
         self.io.commit_round(
             round_no,
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
@@ -661,8 +753,26 @@ class CrawlEngine:
             if res.pop("done"):
                 break
             log.append({"round": r, **res})
+            if (
+                self.mode == "abucket"
+                and self.compact_seen_every
+                and r % self.compact_seen_every == 0
+            ):
+                self.compact_seen(r)
             r += 1
         return log
+
+    def compact_seen(self, upto_round: int) -> dict | None:
+        """Compact the abucket seen store's partitions ``<= upto_round``
+        into its base partition (manifest-gated; no-op for other modes).
+        Safe whenever ``upto_round`` is committed — in-flight rounds only
+        ever read ``round <= committed`` and the merged rows stay visible
+        under the (negative) base partition id."""
+        if self.mode != "abucket":
+            return None
+        return S.compact_seen_store(
+            self.spark, self.io.base, self.n_buckets, upto_round, io=self.io
+        )
 
     # ------------------------------------------------------------------
     def crawl_order(self) -> list[tuple[int, int, str]]:

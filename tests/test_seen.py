@@ -226,6 +226,135 @@ def test_abucket_engine_store_round_semantics(spark, tmp_path):
     spark.sql(f"drop table {table}")
 
 
+def test_compaction_bounds_files_and_preserves_membership(spark, tmp_path):
+    """compact_seen_store: after many rounds with periodic compaction the
+    store's file count stays bounded (vs linear growth in rounds), the
+    membership set is IDENTICAL to an uncompacted twin store at every
+    step, the base partition id is negative (always visible to round <=
+    upto readers) and strictly decreasing across compactions, and the
+    manifest guard refuses rollback past the compaction point."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from geocrawl_spark.checkpoint import TableIO
+    from geocrawl_spark.seen import (
+        _store_partitions,
+        compact_seen_store,
+        ensure_seen_store,
+        filter_and_update_abucket,
+    )
+
+    n_buckets, every = 4, 4
+    base_c = str(tmp_path / "compacted")
+    base_u = str(tmp_path / "uncompacted")
+    io = TableIO(base_c)
+    t_c = ensure_seen_store(spark, base_c, n_buckets, fresh=True)
+    t_u = ensure_seen_store(spark, base_u, n_buckets, fresh=True)
+
+    def round_urls(r):
+        # half repeats of the previous round, half fresh
+        return _urls(150, f"http://h.org/r{r}/") + _urls(150, f"http://h.org/r{r-1}/")
+
+    n_rounds = 12
+    for r in range(n_rounds):
+        cand = spark.createDataFrame(
+            pd.DataFrame({"url": round_urls(r), "depth": [r] * 300}),
+            "url string, depth long",
+        )
+        got = {}
+        for tbl, bdir in ((t_c, base_c), (t_u, base_u)):
+            fresh, _stats, parents, append = filter_and_update_abucket(
+                cand, spark, tbl, n_buckets, upto_round=r - 1, round_no=r
+            )
+            got[tbl] = sorted(x["url"] for x in fresh.collect())
+            append()
+            for p in parents:
+                p.unpersist()
+        assert got[t_c] == got[t_u], f"membership diverged at round {r}"
+        if r > 0 and r % every == 0:
+            res = compact_seen_store(spark, base_c, n_buckets, r, io=io)
+            assert res is not None and res["base"] < 0
+            assert res["files_after"] <= n_buckets
+
+    # file count: compacted store holds base + rounds since last
+    # compaction; uncompacted holds one partition per round
+    def files(bdir):
+        return sum(
+            sum(1 for f in os.listdir(p) if not f.startswith((".", "_")))
+            for p in _store_partitions(bdir).values()
+        )
+
+    parts_c = _store_partitions(base_c)
+    assert len(parts_c) <= every + 2  # base + rounds 9..11
+    assert len(_store_partitions(base_u)) == n_rounds
+    assert files(base_c) < files(base_u)
+    # both stores agree on the full membership set
+    assert (
+        spark.table(t_c).select("h1").distinct().count()
+        == spark.table(t_u).select("h1").distinct().count()
+        == spark.table(t_u).count()  # uncompacted store has no dupes
+    )
+    hc = {r["h1"] for r in spark.table(t_c).select("h1").distinct().collect()}
+    hu = {r["h1"] for r in spark.table(t_u).select("h1").collect()}
+    assert hc == hu
+
+    # second compaction produced a strictly lower base than the first
+    res2 = compact_seen_store(spark, base_c, n_buckets, n_rounds - 1, io=io)
+    assert res2 is not None and res2["base"] == min(parts_c) - 1
+    assert len(_store_partitions(base_c)) == 1  # fully compacted
+
+    # rollback past the compaction point refuses (expire_snapshots trade)
+    io.set_meta("x", 1)  # manifest exists
+    with pytest.raises(ValueError, match="compacted"):
+        io.rollback_to(3)
+    for t in (t_c, t_u):
+        spark.sql(f"drop table {t}")
+
+
+def test_engine_crawl_with_compaction_identical(spark, tmp_path):
+    """A full CrawlEngine crawl with compact_seen_every=3 produces the
+    IDENTICAL crawl ordering, seen set, and counters as one without
+    compaction — compaction is invisible to crawl semantics, it only
+    bounds the store's file count."""
+    from geocrawl_spark import synth
+    from geocrawl_spark.frontier import CrawlEngine
+    from geocrawl_spark.seen import _store_partitions
+
+    def build(base, **kw):
+        return CrawlEngine(
+            spark,
+            pages=spark.createDataFrame(
+                synth.gen_pages(60, 4),
+                "url string, warc_ts timestamp, html binary, text string, lang string",
+            ),
+            seeds=spark.createDataFrame(synth.gen_seeds(4)),
+            robots=spark.createDataFrame(
+                synth.gen_robots(4),
+                "host string, disallow array<string>, allow array<string>",
+            ),
+            hostbudget=spark.createDataFrame(synth.gen_hostbudget(4)),
+            base_dir=base,
+            mode="abucket",
+            n_buckets=2,
+            **kw,
+        )
+
+    e1 = build(str(tmp_path / "plain"))
+    log1 = e1.run(max_rounds=12)
+    e2 = build(str(tmp_path / "compacted"), compact_seen_every=3)
+    log2 = e2.run(max_rounds=12)
+
+    assert log1 == log2  # per-round counters identical
+    assert e1.crawl_order() == e2.crawl_order()
+    assert e1.seen_urls() == e2.seen_urls()
+    # compaction actually ran: base partition present, fewer partitions
+    parts = _store_partitions(str(tmp_path / "compacted"))
+    assert min(parts) < 0
+    assert len(parts) < len(_store_partitions(str(tmp_path / "plain")))
+    assert e2.io.get_meta("seen_compaction")["base"] < 0
+
+
 def test_bitmap_strategy_matches_blob(spark):
     """JVM bitmap bloom == blob bloom bit-for-bit: tiny m_bits forces
     real false positives, which must agree exactly (same Kirsch-

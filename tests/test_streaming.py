@@ -66,6 +66,56 @@ def test_host_arrival_metrics(spark, tmp_path):
     assert got.select(F.sum("n_pages")).collect()[0][0] is not None
 
 
+def test_stream_ingested_pages_drive_engine(spark, tmp_path):
+    """END-TO-END ingest seam (streaming.py module docstring's deployment
+    story): pages arrive through the Structured Streaming front-end and
+    land as the corpus the crawl engine reads as its pages snapshot — a
+    full CrawlEngine crawl over the STREAM-INGESTED corpus must be
+    identical (ordering, seen set, counters) to one over the original
+    batch corpus."""
+    from geocrawl_spark.frontier import CrawlEngine
+
+    path = _write_pages(spark, tmp_path)
+    corpus = str(tmp_path / "corpus")
+    q = (
+        read_page_stream(spark, path, max_files_per_trigger=2)
+        .writeStream.format("parquet")
+        .option("path", corpus)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def crawl(pages_df, base):
+        eng = CrawlEngine(
+            spark,
+            pages=pages_df,
+            seeds=spark.createDataFrame(synth.gen_seeds(4)),
+            robots=spark.createDataFrame(
+                synth.gen_robots(4),
+                "host string, disallow array<string>, allow array<string>",
+            ),
+            hostbudget=spark.createDataFrame(synth.gen_hostbudget(4)),
+            base_dir=base,
+            mode="abucket",
+            n_buckets=2,
+        )
+        return eng, eng.run(max_rounds=12)
+
+    e_stream, log_stream = crawl(
+        spark.read.parquet(corpus), str(tmp_path / "via-stream")
+    )
+    e_batch, log_batch = crawl(
+        spark.createDataFrame(synth.gen_pages(60, 4), PAGES_SCHEMA),
+        str(tmp_path / "via-batch"),
+    )
+    assert log_stream == log_batch
+    assert e_stream.crawl_order() == e_batch.crawl_order()
+    assert e_stream.seen_urls() == e_batch.seen_urls()
+    assert sum(r["fetched"] for r in log_stream) > 0
+
+
 def test_tsv_line_stream_permissive(spark, tmp_path):
     """A6 streaming analog: malformed TSV lines flow through as dead-letter
     rows (_bad set) instead of killing the stream."""
