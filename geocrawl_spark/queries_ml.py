@@ -373,13 +373,35 @@ def sim_bruteforce_topk(spark, sf_dir):
 
 
 #: trained-IVF hyperparameters (shared by sim_ivf_topk,
-#: dedup_embedding_bucketed, media_neardup): ITERS Lloyd steps, queries
-#: probe the N_PROBE nearest clusters.  K is NOT a constant — it is
+#: dedup_embedding_bucketed, media_neardup): ITERS Lloyd steps; queries
+#: probe their n_probe nearest clusters.  K is NOT a constant — it is
 #: derived from the corpus size (see :func:`_ivf_k_of`) so the family
 #: scales with the data instead of going quadratic-within-bucket at a
-#: fixed cluster count (VERDICT r3 item 1).
+#: fixed cluster count (VERDICT r3 item 1) — and n_probe grows with
+#: sqrt(K) (see :func:`_ivf_nprobe_of`) so top-k recall does not decay
+#: as the cell count rises: per-query scan cost is
+#: sqrt(K) x TARGET_BUCKET score evaluations — sublinear in corpus size
+#: (the standard IVF probe schedule), vs the recall collapse of a fixed
+#: probe count over ever-more cells.
 _IVF_ITERS = 2
-_IVF_NPROBE = 2
+_IVF_NPROBE_MIN = 2
+
+
+def _ivf_nprobe_of(k: int) -> int:
+    """Probe count for a K-cell index: max(2, floor(sqrt(K))) — pure
+    integer math (math.isqrt here, floor(sqrt(k)) in the DuckDB twin;
+    exact for any realistic K since sqrt of a small bigint is exact in
+    double)."""
+    import math
+
+    return max(_IVF_NPROBE_MIN, math.isqrt(k))
+
+
+#: DuckDB twin of :func:`_ivf_nprobe_of` over the ``kk`` CTE
+_NPROBE_SQL = (
+    f"(select greatest({_IVF_NPROBE_MIN}, "
+    "cast(floor(sqrt(k)) as bigint)) from kk)"
+)
 
 #: target vectors per IVF bucket.  K = max(K_MIN, ceil(n / TARGET)) keeps
 #: expected bucket size constant as the corpus grows, so the within-bucket
@@ -569,7 +591,7 @@ def _na_capped_sql(cap: int = _IVF_BUCKET_CAP) -> str:
     with {_ivf_sql_ctes()},
     q as (select n.vec_id as query_id, e as qe, nrm as qn, a.cid
           from n join assign a using (vec_id)
-          where vec_id % 50 = 0 and a.rk <= {_IVF_NPROBE}),
+          where vec_id % 50 = 0 and a.rk <= {_NPROBE_SQL}),
     t as (select n.vec_id as target_id, e as te, nrm as tn, a.cid
           from n join assign a using (vec_id) where a.rk = 1),
     pairs as (
@@ -588,19 +610,22 @@ def sim_ivf_topk(spark, sf_dir):
     """IVF ANN with TRAINED centroids and multi-probe search: spherical
     k-means (K = corpus-derived via :func:`_ivf_k_of`, 2 deterministic
     Lloyd steps, :func:`_ivf_assign_ranked`) indexes every vector under
-    its nearest centroid; queries search their ``n_probe=2`` nearest
-    clusters — the scale path (cluster pruning) vs brute force.  Per-query
-    cost is O(n_probe * TARGET_BUCKET) score evaluations regardless of
-    corpus size, because K grows with n while bucket size stays ~TARGET.
-    Recall vs :func:`sim_bruteforce_topk` is measured by
-    scripts/ivf_recall.py and recorded in BENCH/BASELINE.md."""
+    its nearest centroid; queries search their ``n_probe =
+    max(2, isqrt(K))`` nearest clusters (:func:`_ivf_nprobe_of`) — the
+    scale path (cluster pruning) vs brute force.  Per-query cost is
+    O(sqrt(K) * TARGET_BUCKET) score evaluations — sublinear in corpus
+    size, because K grows with n while bucket size stays ~TARGET and the
+    probe schedule grows only as sqrt(K).  Recall vs
+    :func:`sim_bruteforce_topk` is measured by scripts/ivf_recall.py and
+    recorded in BENCH/BASELINE.md."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
-    ar = _ivf_assign_ranked(n, _ivf_k_of(_vec_count(sf_dir, "embeddings", e)))
+    k = _ivf_k_of(_vec_count(sf_dir, "embeddings", e))
+    ar = _ivf_assign_ranked(n, k)
     q = (
-        n.join(ar.filter(F.col("rk") <= _IVF_NPROBE), "vec_id")
+        n.join(ar.filter(F.col("rk") <= _ivf_nprobe_of(k)), "vec_id")
         .filter(F.col("vec_id") % 50 == 0)
         .select(
             F.col("vec_id").alias("query_id"),

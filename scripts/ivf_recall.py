@@ -28,8 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from geocrawl_spark.queries_ml import (  # noqa: E402
     _IVF_BUCKET_CAP,
-    _IVF_NPROBE,
     _ivf_k_of,
+    _ivf_nprobe_of,
     _ivf_sql_ctes,
     _na_capped_sql,
     _parquet_num_rows,
@@ -118,10 +118,11 @@ def main():
         path = f"/root/testdata/sf{sf}/embeddings.parquet"
         n_vecs = _parquet_num_rows(path)
         k = _ivf_k_of(n_vecs)
+        np_ = _ivf_nprobe_of(k)
         con = duckdb.connect()
         con.sql(f"create view embeddings as select * from '{path}'")
         trained, untrained = _ivf_sql_ctes(), _untrained_ctes()
-        r_topk, h1, t1 = _recall(con, _topk_sql(trained, _IVF_NPROBE), _TRUE_TOPK)
+        r_topk, h1, t1 = _recall(con, _topk_sql(trained, np_), _TRUE_TOPK)
         r_topk_u, h2, t2 = _recall(con, _topk_sql(untrained, 1), _TRUE_TOPK)
         r_pairs, h3, t3 = _recall(con, _pairs_sql(trained), _TRUE_PAIRS)
         r_pairs_u, h4, t4 = _recall(con, _pairs_sql(untrained), _TRUE_PAIRS)
@@ -131,8 +132,8 @@ def main():
              r_pairs_u, dropped)
         )
         print(
-            f"sf{sf}: n={n_vecs} K={k} (corpus-derived); "
-            f"topk recall trained(np=2)={r_topk:.3f} ({h1}/{t1}) "
+            f"sf{sf}: n={n_vecs} K={k} np={np_} (corpus-derived); "
+            f"topk recall trained(np={np_})={r_topk:.3f} ({h1}/{t1}) "
             f"untrained(np=1)={r_topk_u:.3f}; pair recall trained={r_pairs:.3f} "
             f"({h3}/{t3}) untrained={r_pairs_u:.3f}; "
             f"bucket-cap dropped={dropped}",
@@ -145,8 +146,9 @@ def main():
             f"\n### IVF recall vs brute force ({stamp}, scripts/ivf_recall.py)\n\n"
             "Trained = spherical k-means (K corpus-derived = "
             "max(8, ceil(n/125)), 2 deterministic Lloyd steps) with "
-            "n_probe=2; untrained = same derived K, no Lloyd steps, "
-            "n_probe=1.  Ground truth: brute-force cosine top-3 (same "
+            "n_probe = max(2, floor(sqrt(K))); untrained = same derived "
+            "K, no Lloyd steps, n_probe=1.  Ground truth: brute-force "
+            "cosine top-3 (same "
             "query set) / all >=0.4 pairs.  'dropped' = vectors excluded "
             "from pair generation by the per-bucket cap "
             f"({_IVF_BUCKET_CAP}) — the no-silent-truncation report "
