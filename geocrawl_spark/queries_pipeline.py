@@ -1,0 +1,532 @@
+"""Driver-oracle query suite, part 3: the operators that turn pairwise
+dedup/scoring into a PRODUCTION training-data pipeline — cluster
+resolution (which docs to actually keep), quality filtering (Gopher-style
+repetition battery), host-graph ranking (frontier prioritization), and
+deterministic stratified sampling / sharding (data mixing).
+
+No reference counterpart (the reference stops at per-file extraction);
+these follow the published webtext-pipeline recipes: MinHash-LSH
+candidate pairs -> connected components -> canonical keeper (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better"), repetition
+filters (Rae et al., Gopher, Table A1), PageRank (Page et al.) as the
+crawl-priority signal, and hash-threshold sampling for reproducible
+data mixing.
+
+Portability rules (so the DuckDB oracle hash-matches — same contract as
+queries_ml): md5-only hashing, floats rounded before ranking AND between
+fixed-point iterations (the Lloyd-step precedent: both engines then feed
+identical doubles into the next step), ties broken by ids, iteration
+counts fixed and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries_core import _q, _t
+from .queries_ml import _minhash_band_sql, dedup_minhash_lsh
+
+# ---------------------------------------------------------------------------
+# dedup cluster resolution: LSH pairs -> connected components -> keepers
+# ---------------------------------------------------------------------------
+
+#: min-label propagation iteration cap.  Convergence needs O(component
+#: diameter) rounds; near-dup components are star/clique-shaped (docs
+#: similar to a common template), so diameters stay tiny.  The cap is a
+#: runaway fence, not a tuning knob — hitting it raises.
+_CC_MAX_ITERS = 50
+
+
+def _cc_min_label(edges: DataFrame) -> DataFrame:
+    """Connected components over an undirected edge list (``doc_a`` <
+    ``doc_b``) by iterative min-label propagation: every node starts as
+    its own label; each round every node takes the min label in its
+    closed neighborhood; converged when the global label sum stops
+    falling (labels only ever decrease, so the sum is a strictly
+    decreasing convergence witness costing one tiny agg action per
+    round).
+
+    Scale notes: each round is one shuffle on doc id (join + groupBy
+    min) — the standard Spark CC shape; production corpora with deep
+    chain components would swap in large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce"), which squares path
+    lengths and converges in O(log d) rounds over the same join/groupBy
+    primitives.  Lineage is truncated with localCheckpoint every round
+    so the plan stays O(1) deep regardless of iteration count.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("lab", F.col("doc"))
+    )
+    prev_sum = None
+    for _ in range(_CC_MAX_ITERS):
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc)
+            .select(F.col("src").alias("doc"), "lab")
+        )
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+        cur = labels.agg(
+            F.sum("lab").alias("s"), F.count("*").alias("n")
+        ).collect()[0]
+        cur_sum = (cur["s"], cur["n"])
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected components did not converge in {_CC_MAX_ITERS} rounds"
+    )
+
+
+def _cc_sql() -> str:
+    """Oracle twin: exact reachability closure via WITH RECURSIVE (the
+    union-dedup semantics bound the worklist by |component|^2 label
+    pairs — fine at oracle scale, and exact)."""
+    return f"""
+    pairs as (
+      select doc_a, doc_b from ({_minhash_band_sql()})
+    ),
+    edges as (
+      select doc_a as src, doc_b as dst from pairs
+      union all
+      select doc_b as src, doc_a as dst from pairs
+    ),
+    reach(doc, lab) as (
+      select distinct src, src from edges
+      union
+      select e.dst, r.lab from reach r join edges e on e.src = r.doc
+    ),
+    cc as (select doc, min(lab) as cluster from reach group by doc),
+    sz as (select cluster, count(*)::bigint as cluster_size from cc group by 1)
+    """
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    with recursive {_cc_sql()}
+    select cc.doc::bigint as doc_id, cc.cluster::bigint as cluster,
+           sz.cluster_size,
+           (case when cc.doc = cc.cluster then 1 else 0 end)::bigint as is_keeper
+    from cc join sz using (cluster)
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER RESOLUTION: MinHash-LSH candidate pairs
+    (:func:`queries_ml.dedup_minhash_lsh`) -> undirected components ->
+    one canonical keeper per cluster (min doc_id — the deterministic
+    production rule).  This is the operator a pipeline actually applies:
+    pairwise dedup only proposes; the keep/drop decision needs the
+    transitive closure, or A~B, B~C leaves both A and C in the corpus.
+    Only docs touched by at least one candidate pair appear (untouched
+    docs are trivially keepers)."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_min_label(edges)
+    sz = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(sz, "lab")
+        .select(
+            F.col("doc").cast("long").alias("doc_id"),
+            F.col("lab").cast("long").alias("cluster"),
+            "cluster_size",
+            (F.col("doc") == F.col("lab")).cast("long").alias("is_keeper"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+#: keep-thresholds (Gopher Table A1 shape, values adapted to the synthetic
+#: corpus' vocabulary so both keep and drop decisions occur at test scale)
+_TOP2G_MAX = 0.08
+_DUP5G_MAX = 0.40
+_TOPWORD_MAX = 0.10
+
+
+def _grams_expr(words, n: int):
+    """Overlapping word n-grams as an array column (empty when the doc is
+    shorter than n words)."""
+    sz = F.size(words)
+    idx = F.sequence(F.lit(1), sz - (n - 1))
+    parts = lambda i: [F.element_at(words, i + j) for j in range(n)]  # noqa: E731
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.when(sz >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
+def _grams_sql(n: int) -> str:
+    w = "string_split(text, ' ')"
+    gram = " || ' ' || ".join(f"{w}[i+{j}]" if j else f"{w}[i]" for j in range(n))
+    return (
+        f"case when len({w}) >= {n} then "
+        f"list_transform(range(1, len({w}) - {n - 2}), i -> {gram}) "
+        "else [] end"
+    )
+
+
+@_q(
+    "gopher_repetition",
+    f"""
+    with g2 as (
+      select doc_id, unnest({_grams_sql(2)}) as g from documents
+    ),
+    c2 as (select doc_id, g, count(*)::bigint as cnt from g2 group by 1, 2),
+    top2 as (
+      select doc_id, cnt * (length(g) + 1) as chars2 from (
+        select *, row_number() over (partition by doc_id
+                                     order by cnt desc, g) as rn from c2)
+      where rn = 1
+    ),
+    g5 as (
+      select doc_id, unnest({_grams_sql(5)}) as g from documents
+    ),
+    c5 as (select doc_id, g, count(*)::bigint as cnt from g5 group by 1, 2),
+    dup5 as (
+      select doc_id, sum(cnt * (length(g) + 1)) as chars5
+      from c5 where cnt > 1 group by 1
+    ),
+    w as (select doc_id, unnest(string_split(text, ' ')) as w from documents),
+    cw as (select doc_id, w, count(*)::bigint as cnt from w group by 1, 2),
+    topw as (
+      select doc_id, cnt from (
+        select *, row_number() over (partition by doc_id
+                                     order by cnt desc, w) as rn from cw)
+      where rn = 1
+    ),
+    nw as (select doc_id, count(*)::bigint as n_words from w group by 1)
+    select d.doc_id,
+           round(coalesce(t2.chars2, 0) / length(d.text), 4) as top2g_frac,
+           round(coalesce(d5.chars5, 0) / length(d.text), 4) as dup5g_frac,
+           round(tw.cnt / nw.n_words, 4) as topword_frac,
+           (case when coalesce(t2.chars2, 0) / length(d.text) <= {_TOP2G_MAX}
+                  and coalesce(d5.chars5, 0) / length(d.text) <= {_DUP5G_MAX}
+                  and tw.cnt / nw.n_words <= {_TOPWORD_MAX}
+             then 1 else 0 end)::bigint as keep
+    from documents d
+      left join top2 t2 using (doc_id)
+      left join dup5 d5 using (doc_id)
+      join topw tw using (doc_id)
+      join nw using (doc_id)
+    """,
+)
+def gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition filter battery (Rae et al. 2021, Table A1
+    shape): per document, the fraction of characters covered by the most
+    frequent word 2-gram, by all DUPLICATED word 5-grams, and the top
+    single-word frequency — plus the keep/drop decision at the module
+    thresholds.  Complements :func:`queries_ml.text_quality_scores`
+    (length/punct/stopword ratios): those catch junk pages, these catch
+    boilerplate and spam repetition.
+
+    Scale shape: two explode -> groupBy(doc, gram) passes with map-side
+    partial aggregation — the same bounded shingle shuffle as the dedup
+    family; no window wider than one document's distinct grams."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def top_char_frac(n: int, out: str) -> DataFrame:
+        g = d.select(
+            "doc_id", F.explode(_grams_expr(words, n)).alias("g")
+        )
+        c = g.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+        return (
+            c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                (F.col("cnt") * (F.length("g") + 1)).alias(out),
+            )
+        )
+
+    top2 = top_char_frac(2, "chars2")
+    g5 = d.select("doc_id", F.explode(_grams_expr(words, 5)).alias("g"))
+    c5 = g5.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("cnt"))
+    dup5 = (
+        c5.filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * (F.length("g") + 1)).alias("chars5"))
+    )
+    wtab = d.select("doc_id", F.explode(words).alias("w"))
+    cw = wtab.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("cnt"))
+    ww = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("w"))
+    topw = (
+        cw.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cnt")
+    )
+    nw = wtab.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_words"))
+
+    nchars = F.length("text")
+    f2 = F.coalesce(F.col("chars2"), F.lit(0)) / nchars
+    f5 = F.coalesce(F.col("chars5"), F.lit(0)) / nchars
+    fw = F.col("cnt") / F.col("n_words")
+    keep = (
+        (f2 <= _TOP2G_MAX) & (f5 <= _DUP5G_MAX) & (fw <= _TOPWORD_MAX)
+    )
+    return (
+        d.select("doc_id", "text")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .join(topw, "doc_id")
+        .join(nw, "doc_id")
+        .select(
+            "doc_id",
+            F.round(f2, 4).alias("top2g_frac"),
+            F.round(f5, 4).alias("dup5g_frac"),
+            F.round(fw, 4).alias("topword_frac"),
+            keep.cast("long").alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-graph PageRank (frontier prioritization signal)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+
+def _host_edges_sql() -> str:
+    """Deterministic host link graph derived from the documents table:
+    each doc contributes two out-links from its source host to hosts
+    picked by affine doc_id arithmetic (pure integers — trivially
+    identical across engines).  Self-links are kept so every host has
+    out-degree >= 1 (no dangling-mass term needed)."""
+    return """
+    hosts as (select distinct source as host from documents),
+    rawe as (
+      select source as u,
+             'src' || (((doc_id % 20) * (doc_id % 20) + 3) % 20) as v
+      from documents
+      union
+      select source as u,
+             'src' || (((doc_id % 20) * (doc_id % 20) * (doc_id % 20) + 11) % 20) as v
+      from documents
+    ),
+    outd as (select u, count(*)::bigint as od from rawe group by 1),
+    e as (select u, v, od from rawe join outd using (u))
+    """
+
+
+#: fixed-point scale: ranks are integer MILLIONTHS of the total mass.
+#: All iteration arithmetic is integer floor-division — bit-identical
+#: across engines by construction (no float summation order, no
+#: half-boundary rounding: the ADVICE-r3 failure mode for 6dp-rounded
+#: double fixed points).  Floor leaks < out_degree millionths per node
+#: per step — deterministic and far below the output precision.
+_PR_SCALE = 1_000_000
+_PR_D_PERMILLE = 850  # damping 0.85 in per-mille integer form
+
+
+def _pagerank_sql() -> str:
+    n = "(select count(*) from hosts)"
+    base = _PR_SCALE - _PR_SCALE * _PR_D_PERMILLE // 1000  # teleport mass
+    ctes = [f"pr0 as (select host, {_PR_SCALE} // {n} as r from hosts)"]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""pr{i} as (
+      select h.host,
+             {base} // {n}
+               + ({_PR_D_PERMILLE} * coalesce(m.acc, 0)) // 1000 as r
+      from hosts h left join (
+        select e.v as host, sum(p.r // e.od)::bigint as acc
+        from pr{i - 1} p join e on e.u = p.host group by 1
+      ) m using (host)
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@_q(
+    "host_pagerank",
+    f"""
+    with {_host_edges_sql()},
+    {_pagerank_sql()}
+    select host, round(r / {_PR_SCALE}.0, 6) as pagerank from pr{_PR_ITERS}
+    """,
+)
+def host_pagerank(spark, sf_dir):
+    """PageRank over the host link graph — the classic crawl-priority
+    signal (feeds the same per-host budget slot the engine's politeness
+    pop consumes).  _PR_ITERS fixed power iterations, damping 0.85, with
+    the rank vector held as INTEGER MILLIONTHS and every step pure
+    integer floor-division — bit-identical across engines by
+    construction (stronger than the 6dp-rounded-double trick, whose
+    half-boundary cases ADVICE r3 flagged as engine-divergent).
+
+    Scale shape: each iteration is one equi-join rank-flow + groupBy(v)
+    sum — map-side combinable, shuffle keyed on host; the rank vector is
+    |hosts| rows (tiny next to the doc corpus), so Catalyst broadcasts
+    it into the edge join at any realistic host count.  Fixed iteration
+    count = fixed plan depth; no driver-side convergence loop."""
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    # targets via residue-class polynomials: (d mod 20)^k ≡ d^k (mod 20),
+    # so the reduced form is overflow-safe at any doc_id magnitude while
+    # quadratic/cubic residues keep the in-degree distribution skewed
+    # (an affine map makes the graph regular and PageRank vacuously
+    # uniform)
+    m = F.col("doc_id") % 20
+    tgt = lambda poly: F.concat(F.lit("src"), poly.cast("string"))  # noqa: E731
+    rawe = (
+        d.select(F.col("source").alias("u"), tgt((m * m + 3) % 20).alias("v"))
+        .unionByName(
+            d.select(F.col("source").alias("u"), tgt((m * m * m + 11) % 20).alias("v"))
+        )
+        .distinct()
+    )
+    outd = rawe.groupBy("u").agg(F.count("*").cast("long").alias("od"))
+    e = rawe.join(outd, "u").select("u", "v", "od")
+    nn = hosts.agg(F.count("*").cast("long").alias("nn"))
+    idiv = lambda a, b: F.floor(a / b).cast("long")  # noqa: E731
+    base = _PR_SCALE - _PR_SCALE * _PR_D_PERMILLE // 1000
+    pr = hosts.crossJoin(nn).select(
+        "host", idiv(F.lit(_PR_SCALE), F.col("nn")).alias("r"), "nn"
+    )
+    for _ in range(_PR_ITERS):
+        acc = (
+            pr.join(e, pr.host == e.u)
+            .groupBy(F.col("v").alias("host"))
+            .agg(F.sum(idiv(F.col("r"), F.col("od"))).cast("long").alias("acc"))
+        )
+        pr = (
+            hosts.crossJoin(nn)
+            .join(acc, "host", "left")
+            .select(
+                "host",
+                (
+                    idiv(F.lit(base), F.col("nn"))
+                    + idiv(
+                        _PR_D_PERMILLE * F.coalesce(F.col("acc"), F.lit(0).cast("long")),
+                        F.lit(1000),
+                    )
+                ).alias("r"),
+                "nn",
+            )
+        )
+    return pr.select(
+        "host", F.round(F.col("r") / _PR_SCALE, 6).alias("pagerank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling + token sharding (data mixing)
+# ---------------------------------------------------------------------------
+
+#: per-language mixing rates (the data-mixing knob); md5-threshold
+#: selection makes the sample a pure function of (salt, doc_id) — stable
+#: across engines, runs, partitionings, and corpus growth (a doc's
+#: keep/drop never changes when other docs are added).
+_MIX_RATES = {"en": 0.5, "es": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_SALT = "mix1|"
+
+
+def _rate_hex(rate: float) -> str:
+    return f"{int(rate * 16**8):08x}"
+
+
+@_q(
+    "stratified_sample_hash",
+    f"""
+    select doc_id, lang,
+           round(1.0 / (case lang
+                 {' '.join(f"when '{k}' then {v}" for k, v in _MIX_RATES.items())}
+                 else {_MIX_DEFAULT} end), 4) as weight
+    from documents
+    where substr(md5('{_MIX_SALT}' || doc_id::varchar), 1, 8)
+          < (case lang
+             {' '.join(f"when '{k}' then '{_rate_hex(v)}'" for k, v in _MIX_RATES.items())}
+             else '{_rate_hex(_MIX_DEFAULT)}' end)
+    """,
+)
+def stratified_sample_hash(spark, sf_dir):
+    """Deterministic stratified sampling for data mixing: keep a doc iff
+    the first 8 hex chars of md5(salt || doc_id) fall below the
+    language's rate threshold; emit the inverse-rate importance weight.
+    Unlike df.sample(), the selection is reproducible byte-for-byte
+    across engines and cluster sizes, and is STABLE under corpus growth
+    — the property a 100 TB pipeline needs to resample incrementally.
+    Pure per-row expression: no shuffle, fully pushed into the scan
+    stage."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.substring(
+        F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thr = F.lit(_rate_hex(_MIX_DEFAULT))
+    rate = F.lit(_MIX_DEFAULT)
+    for k, v in _MIX_RATES.items():
+        thr = F.when(F.col("lang") == k, F.lit(_rate_hex(v))).otherwise(thr)
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        d.filter(hx < thr)
+        .select("doc_id", "lang", F.round(1.0 / rate, 4).alias("weight"))
+    )
+
+
+#: token budget per training shard (tiny so sharding is exercised at
+#: oracle scale; the operator is budget-agnostic)
+_SHARD_TOKENS = 2000
+
+
+@_q(
+    "token_shard_assign",
+    f"""
+    with t as (
+      select doc_id, lang,
+             len(list_filter(string_split(lower(text), ' '), w -> w != ''))::bigint
+               as n_tokens
+      from documents
+    ),
+    c as (
+      select doc_id, lang, n_tokens,
+             sum(n_tokens) over (partition by lang order by doc_id
+                                 rows unbounded preceding) as cum
+      from t
+    )
+    select doc_id, lang, n_tokens,
+           ((cum - n_tokens) // {_SHARD_TOKENS})::bigint as shard
+    from c
+    """,
+)
+def token_shard_assign(spark, sf_dir):
+    """Token-budgeted shard assignment: within each language stratum,
+    docs (in doc_id order) are packed into shards of ~_SHARD_TOKENS
+    tokens by running token count — the deterministic 'split the corpus
+    into N-token training files' operator.  shard = floor(tokens-before
+    / budget), so a shard can overflow by at most one document (the
+    standard streaming-packing contract; no bin-packing shuffle).
+
+    Scale shape: one window cumsum per stratum.  A single-stratum global
+    cumsum would serialize into one task at 100 TB; the stratified form
+    is the scale path (strata partition the window), matching how
+    training shards are actually laid out per-language/per-source."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(F.filter(toks, lambda t: t != "")).cast("long")
+    t = d.select("doc_id", "lang", n.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / _SHARD_TOKENS).cast("long").alias("shard"),
+    )

@@ -1,0 +1,200 @@
+"""Unit tests for the pipeline-resolution suite (queries_pipeline):
+connected-components semantics, Gopher repetition edge cases on
+hand-built corpora, integer-fixed-point PageRank invariants, and the
+growth-stability contract of hash sampling / token sharding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocrawl_spark.queries_pipeline import (
+    _MIX_DEFAULT,
+    _MIX_RATES,
+    _PR_SCALE,
+    _SHARD_TOKENS,
+    _cc_min_label,
+    dedup_clusters,
+    gopher_repetition,
+    host_pagerank,
+    stratified_sample_hash,
+    token_shard_assign,
+)
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _docs_dir(spark, tmp_path, rows):
+    """Write a hand-built documents table shaped like the driver's."""
+    df = spark.createDataFrame(
+        [(i, t, lang, f"src{i % 20}", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(out)
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_cc_multi_hop_chain(spark):
+    # 1-2-3 is a chain: node 3 never shares an edge with 1, only the
+    # transitive closure assigns it label 1 (the A~B, B~C case the
+    # docstring motivates); 4-5 is a separate component.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc"], r["lab"]) for r in _cc_min_label(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+def test_cc_long_path_converges(spark):
+    # a 12-node path needs ~11 propagation rounds — exercises the loop
+    # (and the convergence witness) well past one iteration
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    labels = _cc_min_label(edges).collect()
+    assert all(r["lab"] == 0 for r in labels) and len(labels) == 13
+
+
+def test_dedup_clusters_invariants(spark):
+    from geocrawl_spark.queries_ml import dedup_minhash_lsh
+
+    cc = dedup_clusters(spark, SF001).collect()
+    by_cluster = {}
+    for r in cc:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m["doc_id"] for m in members)
+        # label is the min member, exactly one keeper, and it is that min
+        assert cid == ids[0]
+        keepers = [m for m in members if m["is_keeper"] == 1]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
+    # transitive soundness: every candidate pair's endpoints co-cluster
+    lab = {r["doc_id"]: r["cluster"] for r in cc}
+    pairs = dedup_minhash_lsh(spark, SF001).select("doc_a", "doc_b").collect()
+    assert pairs, "LSH produced no candidate pairs at sf0.01"
+    for p in pairs:
+        assert lab[p["doc_a"]] == lab[p["doc_b"]]
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters
+# ---------------------------------------------------------------------------
+
+def test_gopher_repetition_edges(spark, tmp_path):
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            ("spam spam spam spam spam spam", "en"),  # pure repetition
+            # 40 distinct words: every 2-gram unique, top2g_frac small
+            (" ".join(f"w{i:02d}token" for i in range(40)), "en"),
+            ("one", "en"),  # shorter than any n-gram window
+        ],
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(spark, sf).collect()}
+    assert rows[0]["keep"] == 0
+    assert rows[0]["topword_frac"] == 1.0
+    assert rows[0]["dup5g_frac"] > 0  # "spam spam spam spam spam" x2
+    assert rows[1]["keep"] == 1
+    assert rows[1]["dup5g_frac"] == 0.0
+    # single-word doc: no 2/5-grams -> zero fracs, topword 1.0 -> dropped
+    assert rows[2]["top2g_frac"] == 0.0 and rows[2]["dup5g_frac"] == 0.0
+    assert rows[2]["keep"] == 0
+
+
+def test_gopher_keep_both_classes_at_sf001(spark):
+    # the thresholds must actually discriminate on the driver corpus —
+    # an all-keep (or all-drop) result would be a vacuous filter
+    agg = (
+        gopher_repetition(spark, SF001)
+        .groupBy("keep")
+        .count()
+        .collect()
+    )
+    counts = {r["keep"]: r["count"] for r in agg}
+    assert set(counts) == {0, 1} and min(counts.values()) >= 10
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_invariants(spark):
+    rows = host_pagerank(spark, SF001).collect()
+    ranks = [r["pagerank"] for r in rows]
+    assert len(rows) == 20
+    # integer floor-division leaks mass downward only, never upward,
+    # and far less than one output ulp per node
+    assert 0.99 <= sum(ranks) <= 1.0 + 1e-9
+    # the graph is built skewed: a uniform vector means the iteration
+    # did nothing (the vacuous-output failure mode)
+    assert len(set(ranks)) >= 10
+    # every rank carries at least the teleport mass floor
+    assert min(ranks) >= (1 - 0.85) / 20 - 1e-6
+
+
+def test_pagerank_deterministic(spark):
+    a = sorted(map(tuple, host_pagerank(spark, SF001).collect()))
+    b = sorted(map(tuple, host_pagerank(spark, SF001).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sampling + sharding
+# ---------------------------------------------------------------------------
+
+def test_sample_stable_under_corpus_growth(spark, tmp_path):
+    # the md5-threshold rule is per-doc: restricting the corpus must
+    # restrict the sample (df.sample() has no such property)
+    full = stratified_sample_hash(spark, SF001)
+    full_ids = {r["doc_id"] for r in full.collect()}
+    half_dir = tmp_path / "half"
+    half_dir.mkdir()
+    spark.read.parquet(f"{SF001}/documents.parquet").filter(
+        F.col("doc_id") < 250
+    ).write.parquet(str(half_dir / "documents.parquet"))
+    half_ids = {
+        r["doc_id"] for r in stratified_sample_hash(spark, str(half_dir)).collect()
+    }
+    assert half_ids == {i for i in full_ids if i < 250}
+
+
+def test_sample_rates_and_weights(spark):
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    totals = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    got = stratified_sample_hash(spark, SF001).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rate = _MIX_RATES.get(lang, _MIX_DEFAULT)
+        assert all(abs(r["weight"] - round(1.0 / rate, 4)) < 1e-9 for r in rows)
+        # binomial(n, rate) within 4 sigma — deterministic given the salt,
+        # the bound just documents the expected concentration
+        n = totals[lang]
+        sd = (n * rate * (1 - rate)) ** 0.5
+        assert abs(len(rows) - n * rate) <= 4 * sd + 1
+
+
+def test_token_shards_contiguous_and_bounded(spark):
+    rows = token_shard_assign(spark, SF001).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # shards start at 0, are non-decreasing in doc order, and each
+        # holds < budget tokens BEFORE its last doc (overflow <= 1 doc)
+        assert rs[0]["shard"] == 0
+        cum = 0
+        for r in rs:
+            assert r["shard"] == cum // _SHARD_TOKENS
+            cum += r["n_tokens"]
+        shards = {r["shard"] for r in rs}
+        assert shards == set(range(max(shards) + 1))
