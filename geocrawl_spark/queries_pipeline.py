@@ -89,6 +89,94 @@ def _cc_min_label(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_star(edges: DataFrame, max_phases: int = 60) -> tuple[DataFrame, int]:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): each phase links every node's neighbors to the
+    minimum of its closed neighborhood, (roughly) squaring path lengths,
+    so convergence is O(log^2 n) PHASES REGARDLESS OF COMPONENT DIAMETER
+    — the scale path for chain-shaped components where min-label
+    propagation (:func:`_cc_min_label`) needs O(diameter) rounds.
+
+    Each phase is one groupBy(min) + join + distinct over the edge list
+    (shuffle keyed on node id, map-side combinable) — no per-node
+    collect_list, so a 10^8-degree hub never materializes its
+    neighborhood in one task.  Convergence witness: (count,
+    xxhash64-sum) signature of the canonical edge set, one 1-row agg
+    action per phase; lineage truncated per phase with localCheckpoint.
+
+    Returns ``(labels, n_phases)`` with the same (doc, lab) schema as
+    :func:`_cc_min_label`.
+    """
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    e = edges.select(
+        F.least("doc_a", "doc_b").alias("a"), F.greatest("doc_a", "doc_b").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    prev_sig, unchanged, phases = None, 0, 0
+    for i in range(max_phases):
+        phases = i + 1
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        j = sym.join(mins, "u").withColumn("m", F.least("mn", "u"))
+        if i % 2 == 0:  # large-star: strictly larger neighbors -> min
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("x"), F.col("m").alias("y")
+            )
+        else:  # small-star: smaller neighbors AND u itself -> min
+            out = (
+                j.filter(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("x"), F.col("m").alias("y"))
+                .unionByName(j.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            )
+        e = (
+            out.filter(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        sig = tuple(
+            e.agg(
+                F.count("*").alias("n"),
+                # decimal accumulator: ±2^63 hash values overflow a long
+                # sum under ANSI mode
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+        )
+        # fixed point = NEITHER operator changes the edge set: require
+        # two consecutive unchanged phases (one large-star + one
+        # small-star); a single no-change phase is not sufficient — a
+        # chain can be large-star-stable while small-star still
+        # contracts it
+        unchanged = unchanged + 1 if sig == prev_sig else 0
+        if unchanged >= 2:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_phases} phases"
+        )
+    sym = e.select(F.col("a").alias("doc"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("doc"), F.col("a").alias("v"))
+    )
+    star = (
+        sym.groupBy("doc")
+        .agg(F.min("v").alias("mn"))
+        .select("doc", F.least("mn", "doc").alias("lab"))
+    )
+    return (
+        nodes.join(star, "doc", "left").select(
+            "doc", F.coalesce("lab", F.col("doc")).alias("lab")
+        ),
+        phases,
+    )
+
+
 def _cc_sql() -> str:
     """Oracle twin: exact reachability closure via WITH RECURSIVE (the
     union-dedup semantics bound the worklist by |component|^2 label
@@ -142,6 +230,34 @@ def dedup_clusters(spark, sf_dir):
             "cluster_size",
             (F.col("doc") == F.col("lab")).cast("long").alias("is_keeper"),
         )
+    )
+
+
+@_q(
+    "dedup_clusters_star",
+    f"""
+    with recursive {_cc_sql()}
+    select cc.doc::bigint as doc_id, cc.cluster::bigint as cluster,
+           sz.cluster_size,
+           (case when cc.doc = cc.cluster then 1 else 0 end)::bigint as is_keeper
+    from cc join sz using (cluster)
+    """,
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Same cluster-resolution contract as :func:`dedup_clusters`, but
+    computed by star contraction (:func:`_cc_star`) — the O(log^2 n)
+    production algorithm for corpora whose dup components can be deep
+    chains (e.g. drifting boilerplate where A~B~C~... without A~C).
+    Both implementations are gated against the SAME exact recursive-CTE
+    oracle."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = _cc_star(edges)
+    sz = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sz, "lab").select(
+        F.col("doc").cast("long").alias("doc_id"),
+        F.col("lab").cast("long").alias("cluster"),
+        "cluster_size",
+        (F.col("doc") == F.col("lab")).cast("long").alias("is_keeper"),
     )
 
 

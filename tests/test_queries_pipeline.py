@@ -12,7 +12,9 @@ from geocrawl_spark.queries_pipeline import (
     _PR_SCALE,
     _SHARD_TOKENS,
     _cc_min_label,
+    _cc_star,
     dedup_clusters,
+    dedup_clusters_star,
     gopher_repetition,
     host_pagerank,
     stratified_sample_hash,
@@ -58,6 +60,41 @@ def test_cc_long_path_converges(spark):
     )
     labels = _cc_min_label(edges).collect()
     assert all(r["lab"] == 0 for r in labels) and len(labels) == 13
+
+
+def test_cc_star_parity_random_graph(spark):
+    # deterministic random graph: 200 nodes, 150 edges (mixed component
+    # shapes) — star contraction must agree with min-label propagation
+    import random
+
+    rng = random.Random(42)
+    pairs = sorted(
+        {tuple(sorted(rng.sample(range(200), 2))) for _ in range(150)}
+    )
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    via_prop = {(r["doc"], r["lab"]) for r in _cc_min_label(edges).collect()}
+    star_df, phases = _cc_star(edges)
+    via_star = {(r["doc"], r["lab"]) for r in star_df.collect()}
+    assert via_star == via_prop
+    assert phases <= 12  # log-ish, not diameter-ish
+
+
+def test_cc_star_deep_chain_fast(spark):
+    # a 60-node path has diameter 59; star contraction must label it in
+    # O(log^2 n) phases, nowhere near the propagation bound
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    labels, phases = _cc_star(edges)
+    rows = labels.collect()
+    assert len(rows) == 61 and all(r["lab"] == 0 for r in rows)
+    assert phases <= 14
+
+
+def test_dedup_clusters_star_matches_propagation(spark):
+    a = sorted(map(tuple, dedup_clusters(spark, SF001).collect()))
+    b = sorted(map(tuple, dedup_clusters_star(spark, SF001).collect()))
+    assert a == b
 
 
 def test_dedup_clusters_invariants(spark):
