@@ -55,10 +55,15 @@ def _cc_min_label(edges: DataFrame) -> DataFrame:
     primitives.  Lineage is truncated with localCheckpoint every round
     so the plan stays O(1) deep regardless of iteration count.
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        # materialize once: the edge list is joined EVERY round — without
+        # this its upstream lineage (e.g. the whole LSH candidate
+        # pipeline) re-executes per iteration
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("doc"))
@@ -113,9 +118,16 @@ def _cc_star(edges: DataFrame, max_phases: int = 60) -> tuple[DataFrame, int]:
         .unionByName(edges.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    e = edges.select(
-        F.least("doc_a", "doc_b").alias("a"), F.greatest("doc_a", "doc_b").alias("b")
-    ).filter(F.col("a") != F.col("b")).distinct()
+    e = (
+        edges.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # materialize: phase 1 reads this twice (sym union + signature)
+        .localCheckpoint(eager=False)
+    )
     prev_sig, unchanged, phases = None, 0, 0
     for i in range(max_phases):
         phases = i + 1
