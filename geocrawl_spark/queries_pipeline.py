@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries_core import _q, _t
+from .queries_core import ORACLE_SQL, _q, _t
 from .queries_ml import _minhash_band_sql, dedup_minhash_lsh
 
 # ---------------------------------------------------------------------------
@@ -417,6 +417,120 @@ def gopher_repetition(spark, sf_dir):
             F.round(fw, 4).alias("topword_frac"),
             keep.cast("long").alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: deterministic benchmark slice: doc_id % _BENCH_MOD == 0 stands in for
+#: the held-out eval set (in production: the actual benchmark corpus)
+_BENCH_MOD = 97
+_DECON_N = 4  # word n-gram length for the overlap test
+
+
+@_q(
+    "decontaminate_ngram",
+    f"""
+    with sh as (
+      select doc_id, unnest(list_distinct({_grams_sql(_DECON_N)})) as s
+      from documents
+    ),
+    bench as (select distinct s from sh where doc_id % {_BENCH_MOD} = 0)
+    select doc_id, count(distinct s)::bigint as n_shared_4grams
+    from sh
+    where doc_id % {_BENCH_MOD} != 0 and s in (select s from bench)
+    group by doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark DECONTAMINATION: flag training documents sharing at
+    least one word 4-gram with the held-out benchmark slice — the
+    standard eval-leakage guard of LLM data pipelines (verbatim-overlap
+    variant; production uses 8-13-grams, shortened here so the toy
+    vocabulary actually discriminates).
+
+    Scale shape: the benchmark's distinct n-grams are tiny next to the
+    corpus, so the overlap test is a BROADCAST left-semi join into the
+    corpus n-gram stream — one corpus explode + map-side-combined
+    groupBy(doc_id), never a corpus-vs-corpus shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams_expr(words, _DECON_N))).alias("s"),
+    )
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("s").distinct()
+    return (
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").cast("long").alias("n_shared_4grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus cleaning (the composition the pipeline actually ships)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "corpus_clean",
+    f"""
+    with recursive {_cc_sql()},
+    ex as (
+      select doc_id, min(doc_id) over (partition by md5(text)) as keeper
+      from documents
+    ),
+    g as (select doc_id, keep from ({ORACLE_SQL["gopher_repetition"]})),
+    ccl as (select doc, cluster from cc)
+    select d.doc_id,
+           case when e.doc_id != e.keeper then 'exact_dup'
+                when c.doc is not null and c.doc != c.cluster then 'near_dup'
+                when g.keep = 0 then 'repetition'
+                else 'ok' end as reason,
+           (case when e.doc_id = e.keeper
+                  and (c.doc is null or c.doc = c.cluster)
+                  and g.keep = 1
+             then 1 else 0 end)::bigint as kept
+    from documents d
+      join ex e using (doc_id)
+      left join ccl c on c.doc = d.doc_id
+      join g using (doc_id)
+    """,
+)
+def corpus_clean(spark, sf_dir):
+    """The end-to-end KEEP/DROP decision a training-data pipeline ships:
+    exact dedup (md5 keeper) -> near-dup cluster resolution
+    (:func:`dedup_clusters_star`) -> repetition filter
+    (:func:`gopher_repetition`), with a first-failing-reason column
+    (precedence: exact_dup > near_dup > repetition > ok).  One
+    declarative plan composing the stage operators; a production run
+    materializes each stage between steps, but the decision logic — and
+    its oracle — is exactly this query."""
+    d = _t(spark, sf_dir, "documents")
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ex = d.select("doc_id", keeper.alias("keeper"))
+    cc = dedup_clusters_star(spark, sf_dir).select(
+        "doc_id", F.col("is_keeper").alias("_cc_keeper")
+    )
+    g = gopher_repetition(spark, sf_dir).select("doc_id", "keep")
+    j = (
+        d.select("doc_id")
+        .join(ex, "doc_id")
+        .join(cc, "doc_id", "left")
+        .join(g, "doc_id")
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keeper"), F.lit("exact_dup"))
+        .when(F.col("_cc_keeper") == 0, F.lit("near_dup"))
+        .when(F.col("keep") == 0, F.lit("repetition"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").cast("long").alias("kept"),
     )
 
 

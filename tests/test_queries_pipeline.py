@@ -235,3 +235,48 @@ def test_token_shards_contiguous_and_bounded(spark):
             cum += r["n_tokens"]
         shards = {r["shard"] for r in rs}
         assert shards == set(range(max(shards) + 1))
+
+
+def test_decontaminate_flags_only_overlap(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import decontaminate_ngram
+
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            # doc_id 0 % 97 == 0 -> benchmark member
+            ("held out eval question about spark shuffles", "en"),
+            # shares the 4-gram "eval question about spark"
+            ("training doc repeating eval question about spark shuffles", "en"),
+            ("completely different words with no overlap at all", "en"),
+        ],
+    )
+    rows = {r["doc_id"]: r["n_shared_4grams"]
+            for r in decontaminate_ngram(spark, sf).collect()}
+    assert 1 in rows and rows[1] >= 1
+    assert 2 not in rows and 0 not in rows  # benchmark docs never reported
+
+
+def test_corpus_clean_reason_precedence(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import corpus_clean
+
+    common = " ".join(f"tok{i}word extra{i} filler{i}" for i in range(12))
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (common, "en"),                      # keeper of the dup pair
+            (common, "en"),                      # EXACT dup of doc 0
+            (common + " trailing variant", "en"),  # near-dup of doc 0
+            ("spam spam spam spam spam spam spam", "en"),  # repetition
+            (" ".join(f"w{i:02d}unique" for i in range(40)), "en"),  # clean
+        ],
+    )
+    rows = {r["doc_id"]: r for r in corpus_clean(spark, sf).collect()}
+    assert rows[1]["reason"] == "exact_dup" and rows[1]["kept"] == 0
+    assert rows[2]["reason"] == "near_dup" and rows[2]["kept"] == 0
+    assert rows[3]["reason"] == "repetition" and rows[3]["kept"] == 0
+    assert rows[4]["reason"] == "ok" and rows[4]["kept"] == 1
+    # the dup-pair keeper survives its own cluster
+    assert rows[0]["reason"] in ("ok", "repetition")  # not a dup reason
+    assert rows[0]["doc_id"] == 0
