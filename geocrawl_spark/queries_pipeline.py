@@ -397,7 +397,10 @@ def gopher_repetition(spark, sf_dir):
     )
     nw = wtab.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_words"))
 
-    nchars = F.length("text")
+    # join on the projected length, not the text payload: the wide text
+    # column must not ride through four shuffles to be length()'d at the
+    # end
+    nchars = F.col("_nc")
     f2 = F.coalesce(F.col("chars2"), F.lit(0)) / nchars
     f5 = F.coalesce(F.col("chars5"), F.lit(0)) / nchars
     fw = F.col("cnt") / F.col("n_words")
@@ -405,7 +408,7 @@ def gopher_repetition(spark, sf_dir):
         (f2 <= _TOP2G_MAX) & (f5 <= _DUP5G_MAX) & (fw <= _TOPWORD_MAX)
     )
     return (
-        d.select("doc_id", "text")
+        d.select("doc_id", F.length("text").alias("_nc"))
         .join(top2, "doc_id", "left")
         .join(dup5, "doc_id", "left")
         .join(topw, "doc_id")
