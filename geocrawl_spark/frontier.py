@@ -150,6 +150,7 @@ class CrawlEngine:
         round_seconds: int = 60,
         compact_seen_every: int | None = None,
         cache_pages: bool = False,
+        host_rank: DataFrame | None = None,
     ):
         self.spark = spark
         #: Caching the pages corpus is OPT-IN (small-corpus / test / bench
@@ -191,6 +192,19 @@ class CrawlEngine:
         #: otherwise grows one partition x n_buckets files per round).
         #: None = never (callers may invoke compact_seen() themselves).
         self.compact_seen_every = compact_seen_every
+        #: Opt-in crawl prioritization: (host, rank) dimension with rank
+        #: in [0, pol.PRIO_RANK_MAX] integer millionths — e.g.
+        #: queries_pipeline.host_pagerank scaled by 1e6.  None (default)
+        #: keeps pure-BFS priority = depth: reference parity, goldens
+        #: unchanged.  The dimension is one row per host — broadcast into
+        #: admission, never a shuffle.
+        self.host_rank = (
+            host_rank.select(
+                "host", F.col("rank").cast("long").alias("rank")
+            ).persist()
+            if host_rank is not None
+            else None
+        )
         #: E3 global per-round batch ceiling (ORDER BY priority LIMIT n):
         #: per-host budgets alone let a frontier with 10M hosts fetch
         #: 10M x budget pages in one round; the cap bounds the round
@@ -338,11 +352,24 @@ class CrawlEngine:
         )
 
     def _frontier_rows(self, flagged: DataFrame, round_no: int) -> DataFrame:
-        return flagged.filter(F.col("kind") == "page").select(
+        rows = flagged.filter(F.col("kind") == "page")
+        if self.host_rank is None:
+            prio = F.col("depth")  # BFS priority = depth
+        else:
+            rows = rows.join(
+                F.broadcast(self.host_rank.withColumnRenamed("rank", "_rank")),
+                "host",
+                "left",
+            )
+            prio = (
+                F.col("depth") * pol.PRIO_SCALE
+                + (F.lit(pol.PRIO_RANK_MAX) - F.coalesce(F.col("_rank"), F.lit(0)))
+            ).cast("long")
+        return rows.select(
             "url",
             "host",
             "depth",
-            F.col("depth").alias("priority"),  # BFS priority = depth
+            prio.alias("priority"),
             F.lit(round_no).cast("long").alias("discovered_round"),
             F.when(F.col("denied"), F.lit("robots_denied"))
             .otherwise(F.lit("pending"))

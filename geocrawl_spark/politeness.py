@@ -38,6 +38,18 @@ from pyspark.sql import functions as F
 DEFAULT_BUDGET = 2
 DEFAULT_SALT = 4
 
+#: Opt-in crawl prioritization (CrawlEngine host_rank / PyRefCrawl
+#: host_rank): given a per-host rank signal r in [0, PRIO_RANK_MAX]
+#: integer millionths (e.g. queries_pipeline.host_pagerank scaled by
+#: 1e6), frontier priority becomes
+#:     depth * PRIO_SCALE + (PRIO_RANK_MAX - r)
+#: BFS depth stays the MAJOR key (reference parity: a deeper page never
+#: overtakes a shallower one), higher-ranked hosts pop first within a
+#: depth layer, and url remains the final tiebreak.  Pure integer
+#: arithmetic so Spark and pyref order identically.
+PRIO_RANK_MAX = 1_000_000
+PRIO_SCALE = 10_000_000
+
 
 # ---------------------------------------------------------------------------
 # robots

@@ -27,7 +27,12 @@ from .canon import canonicalize_url, host_of
 from .gdalmeta import fake_gdal_file_py, proj4_of_wkt_py
 from .geometry import polygon_wkt_py
 from .parsers import parse_name_py
-from .politeness import DEFAULT_BUDGET, robots_denied_py
+from .politeness import (
+    DEFAULT_BUDGET,
+    PRIO_RANK_MAX,
+    PRIO_SCALE,
+    robots_denied_py,
+)
 from .seen import PySeenFilter
 
 
@@ -51,6 +56,7 @@ class PyRefCrawl:
         carryover: bool = True,
         round_cap: int | None = None,
         round_seconds: int = 60,
+        host_rank: dict[str, int] | None = None,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
@@ -70,6 +76,8 @@ class PyRefCrawl:
         self.carryover = carryover
         self.carry: dict[str, int] = {}  # residual budget credit (H1)
         self.round_cap = round_cap  # E3 global per-round batch ceiling
+        # opt-in host-rank prioritization twin (politeness.PRIO_* formula)
+        self.host_rank = host_rank
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
         self.admitted: list[tuple[str, str]] = []
@@ -99,12 +107,18 @@ class PyRefCrawl:
             dis, alw = self.robots.get(host, ([], []))
             is_denied = robots_denied_py(u, dis, alw)
             denied_by_kind[kind] += is_denied
+            if self.host_rank is None:
+                prio = depth
+            else:
+                prio = depth * PRIO_SCALE + (
+                    PRIO_RANK_MAX - self.host_rank.get(host, 0)
+                )
             rows.append(
                 {
                     "url": u,
                     "host": host,
                     "depth": depth,
-                    "priority": depth,
+                    "priority": prio,
                     "discovered_round": round_no,
                     "status": "robots_denied" if is_denied else "pending",
                     "fetch_round": None,

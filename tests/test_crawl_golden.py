@@ -324,3 +324,42 @@ def test_crawl_delay_caps_budget(spark, fixtures, tmp_path_factory, pyref_run):
     eng.run(max_rounds=80)
     assert eng.crawl_order() == ref.crawl_order
     assert eng.seen_urls() == ref.seen_urls()
+
+
+def test_host_rank_priority_golden(spark, fixtures, tmp_path_factory, pyref_run):
+    """Opt-in host-rank prioritization (politeness.PRIO_* formula): the
+    Spark engine and pyref produce the IDENTICAL reordered crawl, the
+    ordering genuinely differs from pure BFS, and coverage (seen set) is
+    unchanged — prioritization reorders work, it never changes what gets
+    crawled."""
+    from geocrawl_spark.synth import host_name
+
+    # deterministic skewed ranks in integer millionths (PageRank-shaped)
+    rank = {host_name(i): ((i * 619) % 7) * 140_000 for i in range(N_HOSTS)}
+    ref = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], fixtures["robots"],
+        fixtures["budget"], host_rank=rank,
+    )
+    ref.run(max_rounds=50)
+    assert ref.crawl_order != pyref_run.crawl_order  # the signal binds
+    assert ref.seen_urls() == pyref_run.seen_urls()  # same coverage
+    eng = CrawlEngine(
+        spark,
+        pages=spark.createDataFrame(
+            fixtures["pages"],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ),
+        seeds=spark.createDataFrame(fixtures["seeds"]),
+        robots=spark.createDataFrame(
+            fixtures["robots"], "host string, disallow array<string>, allow array<string>"
+        ),
+        hostbudget=spark.createDataFrame(fixtures["budget"]),
+        base_dir=str(tmp_path_factory.mktemp("hostrank")),
+        n_shards=4, salt=4, m_bits=1 << 18, k=7, n_buckets=4,
+        host_rank=spark.createDataFrame(
+            [(h, r) for h, r in sorted(rank.items())], "host string, rank long"
+        ),
+    )
+    eng.run(max_rounds=50)
+    assert eng.crawl_order() == ref.crawl_order
+    assert eng.seen_urls() == ref.seen_urls()
