@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_core import ORACLE_SQL, _q, _t
-from .queries_ml import _minhash_band_sql, dedup_minhash_lsh
+from .queries_ml import dedup_ngram_jaccard
 
 # ---------------------------------------------------------------------------
 # dedup cluster resolution: LSH pairs -> connected components -> keepers
@@ -192,10 +192,16 @@ def _cc_star(edges: DataFrame, max_phases: int = 60) -> tuple[DataFrame, int]:
 def _cc_sql() -> str:
     """Oracle twin: exact reachability closure via WITH RECURSIVE (the
     union-dedup semantics bound the worklist by |component|^2 label
-    pairs — fine at oracle scale, and exact)."""
+    pairs — fine at oracle scale, and exact).  Edges are the VERIFIED
+    near-dup pairs (true Jaccard >= 0.5 over df-capped candidates —
+    dedup_ngram_jaccard's contract), NOT raw LSH candidates: closing
+    over unverified candidates over-merges catastrophically (measured by
+    scripts/cluster_eval.py: pair precision 0.001 raw vs 1.000 verified
+    at sf0.01 — one shared band out of 4 is a hint, not a duplicate, and
+    transitivity amplifies every false hint into a giant cluster)."""
     return f"""
     pairs as (
-      select doc_a, doc_b from ({_minhash_band_sql()})
+      select doc_a, doc_b from ({ORACLE_SQL["dedup_ngram_jaccard"]})
     ),
     edges as (
       select doc_a as src, doc_b as dst from pairs
@@ -223,15 +229,20 @@ def _cc_sql() -> str:
     """,
 )
 def dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTER RESOLUTION: MinHash-LSH candidate pairs
-    (:func:`queries_ml.dedup_minhash_lsh`) -> undirected components ->
+    """Near-dup CLUSTER RESOLUTION: VERIFIED near-dup pairs (true
+    Jaccard >= 0.5 over df-capped candidates,
+    :func:`queries_ml.dedup_ngram_jaccard`) -> undirected components ->
     one canonical keeper per cluster (min doc_id — the deterministic
     production rule).  This is the operator a pipeline actually applies:
     pairwise dedup only proposes; the keep/drop decision needs the
     transitive closure, or A~B, B~C leaves both A and C in the corpus.
-    Only docs touched by at least one candidate pair appear (untouched
-    docs are trivially keepers)."""
-    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    VERIFY-BEFORE-CLOSURE is load-bearing: clustering raw LSH candidates
+    instead merges 0.001-precision hints transitively into one giant
+    cluster (measured — scripts/cluster_eval.py; verified-pair closure
+    scores pair precision/recall 1.000/1.000 against the uncapped
+    all-pairs truth at sf0.01 and sf0.1).  Only docs touched by at least
+    one verified pair appear (untouched docs are trivially keepers)."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     labels = _cc_min_label(edges)
     sz = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
@@ -262,7 +273,7 @@ def dedup_clusters_star(spark, sf_dir):
     chains (e.g. drifting boilerplate where A~B~C~... without A~C).
     Both implementations are gated against the SAME exact recursive-CTE
     oracle."""
-    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = _cc_star(edges)
     sz = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cluster_size"))
     return labels.join(sz, "lab").select(

@@ -98,7 +98,7 @@ def test_dedup_clusters_star_matches_propagation(spark):
 
 
 def test_dedup_clusters_invariants(spark):
-    from geocrawl_spark.queries_ml import dedup_minhash_lsh
+    from geocrawl_spark.queries_ml import dedup_ngram_jaccard
 
     cc = dedup_clusters(spark, SF001).collect()
     by_cluster = {}
@@ -111,10 +111,10 @@ def test_dedup_clusters_invariants(spark):
         keepers = [m for m in members if m["is_keeper"] == 1]
         assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
         assert all(m["cluster_size"] == len(members) for m in members)
-    # transitive soundness: every candidate pair's endpoints co-cluster
+    # transitive soundness: every verified pair's endpoints co-cluster
     lab = {r["doc_id"]: r["cluster"] for r in cc}
-    pairs = dedup_minhash_lsh(spark, SF001).select("doc_a", "doc_b").collect()
-    assert pairs, "LSH produced no candidate pairs at sf0.01"
+    pairs = dedup_ngram_jaccard(spark, SF001).select("doc_a", "doc_b").collect()
+    assert pairs, "no verified near-dup pairs at sf0.01"
     for p in pairs:
         assert lab[p["doc_a"]] == lab[p["doc_b"]]
 
