@@ -90,3 +90,74 @@ def streaming_extract(pages: DataFrame) -> DataFrame:
         extract_text_udf("html").alias("text_extracted"),
         F.size(extract_links_udf("html")).alias("n_links"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming seen-filter (H2 on the streaming side)
+# ---------------------------------------------------------------------------
+
+_SEEN_OUT_SCHEMA = "url string, warc_ts timestamp, h long"
+_SEEN_STATE_SCHEMA = "hashes binary"
+
+
+def _seen_filter_fn(key, pdf_iter, state):
+    """Per-shard stateful filter: emit only FIRST-seen url hashes.
+
+    State is the shard's seen set packed as a sorted int64 blob (one
+    binary state column — the same packed-hash representation as the
+    batch bloom shards); membership tests are vectorized np.isin per
+    Arrow chunk, never per-row Python.
+    """
+    import numpy as np
+
+    if state.exists:
+        (blob,) = state.get
+        seen = np.frombuffer(blob, dtype=np.int64)
+    else:
+        seen = np.empty(0, dtype=np.int64)
+    fresh_parts = []
+    for pdf in pdf_iter:
+        h = pdf["h"].to_numpy(dtype=np.int64)
+        first_in_chunk = ~pdf["h"].duplicated().to_numpy()
+        mask = first_in_chunk & ~np.isin(h, seen)
+        out = pdf.loc[mask, ["url", "warc_ts", "h"]]
+        if len(out):
+            fresh_parts.append(out)
+            seen = np.union1d(seen, h[mask])
+    state.update((seen.tobytes(),))
+    yield from fresh_parts
+
+
+def streaming_seen_filter(pages: DataFrame, n_shards: int = 8) -> DataFrame:
+    """H2 as a STREAMING operator: exactly-once URL admission across
+    micro-batches via ``applyInPandasWithState`` — the canonical custom
+    stateful streaming operator shape.  URLs canonicalize -> xxhash64 ->
+    shard by ``pmod(h, n_shards)``; each shard group carries its seen
+    set in operator state, so a url is emitted the FIRST time it is ever
+    observed and suppressed in every later micro-batch (and later in the
+    same batch).  Mirrors the batch engine's admission contract
+    (canonicalize -> hash -> shard -> test-and-insert, seen.py).
+
+    Scale notes: state is hash-partitioned across ``n_shards`` groups
+    (executor-parallel, same layout as the batch bloom shards); the
+    packed-int64 state grows O(seen/shard) — a production deployment at
+    10^10 urls swaps the exact blob for the same bloom bitmap the batch
+    path uses (identical state plumbing, lossy-FP contract), or drains
+    the stream into engine rounds via foreachBatch + the abucket store
+    (the tested ingest seam, test_stream_ingested_pages_drive_engine).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    canon = canonicalize_url_expr(F.col("url"))
+    hashed = pages.select(
+        canon.alias("url"),
+        "warc_ts",
+        F.xxhash64(canon).alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
+    return hashed.groupBy("shard").applyInPandasWithState(
+        _seen_filter_fn,
+        outputStructType=_SEEN_OUT_SCHEMA,
+        stateStructType=_SEEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

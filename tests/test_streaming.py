@@ -146,3 +146,46 @@ def test_tsv_line_stream_permissive(spark, tmp_path):
     assert got.filter(F.col("_bad").isNotNull()).count() == 2
     ok = got.filter(F.col("_bad").isNull())
     assert ok.count() == 5 and ok.filter(F.col("warc_ts").isNull()).count() == 0
+
+
+def test_streaming_seen_filter_exactly_once(spark, tmp_path):
+    """applyInPandasWithState seen filter: a url is emitted the FIRST
+    time it is observed and never again — across micro-batches (state)
+    and within one (in-chunk dedup) — and admission equals the batch
+    contract (distinct canonical urls)."""
+    from geocrawl_spark.canon import canonicalize_url_expr
+    from geocrawl_spark.streaming import streaming_seen_filter
+
+    pdf = synth.gen_pages(50, 4)
+    src = str(tmp_path / "pages_dup")
+    base = spark.createDataFrame(pdf, PAGES_SCHEMA)
+    # three files with heavy overlap: full corpus, first half again, a
+    # third slice again -> later micro-batches re-observe earlier urls
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    base.filter(F.xxhash64("url") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    base.filter(F.xxhash64("url") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_page_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_seen_filter(stream, n_shards=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seen_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url from seen_stream").collect()
+    urls = [r["url"] for r in got]
+    assert len(urls) == len(set(urls)), "a url was admitted twice"
+    expect = {
+        r["url"]
+        for r in base.select(
+            canonicalize_url_expr(F.col("url")).alias("url")
+        ).distinct().collect()
+    }
+    assert set(urls) == expect
