@@ -26,14 +26,15 @@ metrics for continuity with BENCH_r01/r02:
              join; seen side never reshuffles);
 - anti     — pure-JVM exact xxhash64 anti-join (in-memory seen set);
 - bitword  — pure-JVM bloom bitmap as (word_id, bits) rows;
-- bloom    — sharded-blob cogroup (one Arrow crossing each way).
+- bloom    — sharded-blob cogroup (one Arrow crossing each way);
+- cuckoo   — same cogroup pass with the deletable cuckoo-filter codec.
 
 Also times every queries() entry at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
 BENCH_FRONTIER_URLS (default 2_000_000), BENCH_QUERIES=0 to skip the
 query sweep, BENCH_STRATEGIES (default
-"engine,abucket,bitword,anti,bloom"), BENCH_REPEAT best-of-N (default
+"engine,abucket,bitword,anti,bloom,cuckoo"), BENCH_REPEAT best-of-N (default
 3) — used by scripts/scaling_bench.py.
 """
 
@@ -73,6 +74,14 @@ def _bitword_m_bits(n: int) -> int:
     while m < 16 * n:
         m <<= 1
     return m
+
+
+def _cuckoo_m_bits(n: int) -> int:
+    """Per-shard cuckoo table bits: smallest power-of-two bucket count
+    whose 4 slots hold this round's per-shard keys at <= ~85% load."""
+    need = max(1, int(n / N_SHARDS / (4 * 0.85)))
+    buckets = 1 << max(need - 1, 1).bit_length()
+    return buckets * 64  # 4 slots x 16 bits
 
 
 def _synthetic_inputs(spark, n: int):
@@ -186,9 +195,13 @@ def frontier_round(
             ]
             return min(results, key=lambda r: r[0])
     raw, budgets, robots = _synthetic_inputs(spark, n)
-    # pre-round seen state per strategy (bloom sized for this round's
-    # volume; production sizing notes in seen.py)
-    shards = S.init_shards(spark, "bloom", N_SHARDS, 1 << 24, 7)
+    # pre-round seen state per strategy (bloom/cuckoo sized for this
+    # round's volume; production sizing notes in seen.py)
+    if strategy == "cuckoo":
+        ck_m = _cuckoo_m_bits(n)
+        shards = S.init_shards(spark, "cuckoo", N_SHARDS, ck_m, 7)
+    else:
+        shards = S.init_shards(spark, "bloom", N_SHARDS, 1 << 24, 7)
     seen_hashes = S.init_hashes(spark)
     bitmap = S.init_bitmap(spark)
     bit_m = _bitword_m_bits(n)
@@ -218,6 +231,10 @@ def frontier_round(
         fresh, new_state, _stats, _parent = S.filter_and_update_bitmap(
             frontier, bitmap, bit_m, _BITWORD_K
         )
+    elif strategy == "cuckoo":
+        fresh, new_state, _ = S.filter_and_update(
+            frontier, shards, "cuckoo", N_SHARDS, ck_m, 7
+        )
     else:
         fresh, new_state, _ = S.filter_and_update(
             frontier, shards, "bloom", N_SHARDS, 1 << 24, 7
@@ -239,7 +256,7 @@ def frontier_round(
     )
     batch = pol.pop_batch(gated, budgets, salt=8)
     n_batch = batch.count()
-    if strategy == "bloom":
+    if strategy in ("bloom", "cuckoo"):
         n_state = new_state.select(F.sum("n_items")).collect()[0][0]
         dt = time.time() - t0
     elif strategy == "abucket":
@@ -276,7 +293,7 @@ def main():
 
     queries: dict[str, float] = {}
     strategies = os.environ.get(
-        "BENCH_STRATEGIES", "engine,abucket,bitword,anti,bloom"
+        "BENCH_STRATEGIES", "engine,abucket,bitword,anti,bloom,cuckoo"
     ).split(",")
     per_strategy: dict[str, float] = {}
     splits: dict[str, float] = {}

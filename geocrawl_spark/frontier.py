@@ -73,19 +73,22 @@ COUNTER_KEYS = [
 ]
 
 #: seen-filter strategies CrawlEngine can run (``mode=`` ctor arg):
-#: - exact / bloom: sharded-blob cogroup (seen.filter_and_update)
+#: - exact / bloom / cuckoo: sharded-blob cogroup (seen.filter_and_update) —
+#:                  bloom is the smallest state, cuckoo adds deletability
+#:                  at ~0.012% FPR (see seen.py codec notes)
 #: - anti:          pure-JVM xxhash64 anti-join (filter_and_update_anti)
 #: - bitword:       pure-JVM bloom bitmap as word rows (filter_and_update_bitmap)
 #: - abucket:       anti-join against a PERSISTENT round-partitioned bucketed
 #:                  store; per-round state write is an O(fresh) partition
 #:                  append, never an O(seen) snapshot (the 10^10 mode)
 #:
-#: Mode guidance: exact/bloom/anti/bitword keep their seen state as a
-#: per-round snapshot table (write cost O(seen), growing with the crawl) —
-#: right for golden tests, debugging, and crawls below ~10^8 URLs.
-#: ``abucket`` is the PRODUCTION mode: its per-round write is O(fresh) and
-#: its membership join never shuffles the seen side.
-SEEN_MODES = ("exact", "bloom", "anti", "bitword", "abucket")
+#: Mode guidance: exact/bloom/cuckoo/anti/bitword keep their seen state as
+#: a per-round snapshot table (write cost O(seen), growing with the crawl)
+#: — right for golden tests, debugging, and crawls below ~10^8 URLs.
+#: ``abucket`` is the PRODUCTION mode: its per-round write is O(fresh),
+#: its membership join never shuffles the seen side, and the store
+#: compacts (compact_seen_every=N) so file count stays bounded.
+SEEN_MODES = ("exact", "bloom", "cuckoo", "anti", "bitword", "abucket")
 
 
 def global_sequence(
@@ -214,7 +217,7 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _init_seen_state(self) -> DataFrame | None:
-        if self.mode in ("exact", "bloom"):
+        if self.mode in ("exact", "bloom", "cuckoo"):
             return S.init_shards(
                 self.spark, self.mode, self.n_shards, self.m_bits, self.k
             )
@@ -263,7 +266,7 @@ class CrawlEngine:
         persisted — caller unpersists it and every df in ``parents`` after
         ``persist_state()`` ran.
         """
-        if self.mode in ("exact", "bloom"):
+        if self.mode in ("exact", "bloom", "cuckoo"):
             fresh, new_state, seen_out = S.filter_and_update(
                 cand, state, self.mode, self.n_shards, self.m_bits, self.k
             )

@@ -12,7 +12,7 @@ candidates are co-grouped with its blob via
 pass, NOT a 10^10-row anti-join.  Membership math inside the UDF is pure
 numpy over the two JVM-computed 64-bit hashes (no per-row Python).
 
-Two blob codecs with one wire protocol:
+Three blob codecs with one wire protocol:
 - ``exact``  — sorted uint64 array of h1 values (test/golden mode; also a
   legitimate production mode at ~8 bytes/url);
 - ``bloom``  — classic Bloom bitset, k probes by double hashing
@@ -22,6 +22,17 @@ Two blob codecs with one wire protocol:
   b≈43 and k≈30 (~5.4 GB per 10^9); for a crawl frontier ~0.1% is the
   right trade (an FP merely skips one URL, deterministically).  Sizing
   discussion follows Vacuum Filters (VLDB'19) notes in PAPERS.md.
+- ``cuckoo`` — cuckoo filter (Fan et al., CoNEXT'14): buckets of 4
+  16-bit fingerprints, two candidate buckets per key
+  (i2 = i1 XOR hash(fp)), displacement ("kick") relocation on overflow.
+  FPR ≈ 2*slots/2^16 ≈ 0.012% at ~16.8 bits/key (95% load) — between
+  the bloom presets — and, unlike bloom, it supports DELETION, which is
+  what earns it the slot next to Bloom in the north-star design: a
+  politeness retraction (un-admit a URL whose fetch was withdrawn) is a
+  fingerprint delete, not a filter rebuild.  Insertion order affects
+  which bucket a fingerprint lands in, so :func:`_insert` sorts the
+  batch by h1 first — the layout is then a pure function of (prior
+  state, batch set) and the Spark/Python twins stay bit-identical.
 
 A third, pure-JVM representation of the SAME bloom filter lives in
 :func:`filter_and_update_bitmap` below — the bitset is stored as rows
@@ -51,6 +62,16 @@ H2_SUFFIX = "#h2"  # second-hash domain separator (same in JVM + Python)
 
 EXACT_MAGIC = b"EXCT"
 BLOOM_MAGIC = b"BLM1"
+CUCKOO_MAGIC = b"CKF1"
+
+#: cuckoo geometry: 4 fingerprints per bucket (the CoNEXT'14 sweet spot —
+#: 95% achievable load), 16-bit fingerprints, partial-key displacement
+#: i2 = i1 XOR (fp * odd_const mod B).  The multiplier decorrelates the
+#: XOR offset from the fingerprint value (same role as the paper's
+#: hash(fp)); B is a power of two so XOR never leaves the table.
+_CK_SLOTS = 4
+_CK_FP_MULT = np.uint64(0x5BD1E995)
+_CK_MAX_KICKS = 500
 
 
 # ---------------------------------------------------------------------------
@@ -60,19 +81,151 @@ BLOOM_MAGIC = b"BLM1"
 def empty_blob(mode: str, m_bits: int, k: int) -> bytes:
     if mode == "exact":
         return EXACT_MAGIC
+    if mode == "cuckoo":
+        # m_bits = total table bits, same sizing knob as bloom:
+        # n_buckets = m_bits / (16 bits/fp * 4 slots); capacity ~= 0.95 * m_bits/16
+        n_buckets = m_bits // (16 * _CK_SLOTS)
+        assert n_buckets and n_buckets & (n_buckets - 1) == 0, (
+            "cuckoo m_bits must give a power-of-two bucket count"
+        )
+        return (
+            CUCKOO_MAGIC
+            + struct.pack("<QQ", n_buckets, _CK_SLOTS)
+            + bytes(2 * n_buckets * _CK_SLOTS)
+        )
     return BLOOM_MAGIC + struct.pack("<QQ", m_bits, k) + bytes((m_bits + 7) // 8)
 
 
 def _decode(blob: bytes):
     if blob[:4] == EXACT_MAGIC:
         return "exact", np.frombuffer(blob[4:], dtype=np.uint64), None, None
+    if blob[:4] == CUCKOO_MAGIC:
+        n_buckets, slots = struct.unpack("<QQ", blob[4:20])
+        return "cuckoo", np.frombuffer(blob[20:], dtype=np.uint16), n_buckets, slots
     m_bits, k = struct.unpack("<QQ", blob[4:20])
     bits = np.frombuffer(blob[20:], dtype=np.uint8)
     return "bloom", bits, m_bits, k
 
 
+def _ck_fp(h1: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint from the TOP bits of h1 (the bucket
+    index uses the low bits, so fp and index stay independent)."""
+    f = (h1 >> np.uint64(48)) & np.uint64(0xFFFF)
+    return np.where(f == 0, np.uint64(1), f).astype(np.uint16)
+
+
+def _ck_i1(h1: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Bucket index from the MIDDLE bits: the shard router consumes the
+    low bits (pmod(h1, n_shards)), so within one shard the low bits are
+    constant — indexing on them would pile the whole shard into one
+    bucket.  Bits 16..48 are untouched by both the router and the
+    fingerprint (top 16)."""
+    return ((h1 >> np.uint64(16)) & np.uint64(n_buckets - 1)).astype(np.int64)
+
+
+def _ck_alt(i: np.ndarray, f: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Partner bucket: i XOR hash(fp) — an involution, so either bucket
+    recovers the other from the stored fingerprint alone (what makes
+    displacement and deletion possible without storing the key)."""
+    mask = np.uint64(n_buckets - 1)
+    return (
+        i.astype(np.uint64) ^ ((f.astype(np.uint64) * _CK_FP_MULT) & mask)
+    ).astype(np.int64)
+
+
+def _ck_contains(tbl: np.ndarray, n_buckets: int, slots: int, h1: np.ndarray):
+    t2 = tbl.reshape(n_buckets, slots)
+    f = _ck_fp(h1)
+    i1 = _ck_i1(h1, n_buckets)
+    i2 = _ck_alt(i1, f, n_buckets)
+    fcol = f[:, None]
+    return (t2[i1] == fcol).any(axis=1) | (t2[i2] == fcol).any(axis=1)
+
+
+def _ck_insert(t2: np.ndarray, n_buckets: int, slots: int, h1: np.ndarray) -> None:
+    """Insert a batch into a WRITABLE (n_buckets, slots) table, in place.
+
+    Vectorized two-phase placement (fill free slots of i1 buckets, then of
+    i2 buckets) + a sequential displacement loop for the residue — at sane
+    load the residue is empty, so the numpy phases do all the work.  The
+    batch is processed in h1-sorted order, making the final layout a pure
+    function of (prior table, batch set) regardless of caller ordering.
+    Buckets keep fingerprints PACKED (occupied slots first) — insert fills
+    the first free slot and delete back-swaps — so occupancy is a count.
+    """
+    order = np.argsort(h1, kind="stable")
+    hs = h1[order]
+    f_all = _ck_fp(hs)
+    i1_all = _ck_i1(hs, n_buckets)
+    occ = np.count_nonzero(t2, axis=1).astype(np.int64)
+
+    def fill(idx_b: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Place as many (bucket, fp) pairs as the buckets have free
+        slots; returns the placed mask (input order)."""
+        o = np.argsort(idx_b, kind="stable")
+        ib, fb = idx_b[o], fps[o]
+        starts = np.flatnonzero(np.r_[True, ib[1:] != ib[:-1]])
+        lens = np.diff(np.r_[starts, len(ib)])
+        ranks = np.arange(len(ib)) - np.repeat(starts, lens)
+        put = ranks < (slots - occ[ib])
+        t2[ib[put], (occ[ib] + ranks)[put]] = fb[put]
+        np.add.at(occ, ib[put], 1)
+        placed = np.zeros(len(ib), dtype=bool)
+        placed[o] = put
+        return placed
+
+    placed1 = fill(i1_all, f_all)
+    rem = np.flatnonzero(~placed1)
+    if not len(rem):
+        return
+    placed2 = fill(_ck_alt(i1_all[rem], f_all[rem], n_buckets), f_all[rem])
+    for j in rem[~placed2]:
+        # classic kick loop: both candidate buckets full — displace a
+        # victim (slot chosen deterministically from fp + kick count) and
+        # re-home it in ITS partner bucket, repeating up to the bound
+        cur_f, i = f_all[j], int(i1_all[j])
+        for kick in range(_CK_MAX_KICKS):
+            if occ[i] < slots:
+                t2[i, occ[i]] = cur_f
+                occ[i] += 1
+                break
+            v = (int(cur_f) + kick) % slots
+            victim = t2[i, v]
+            t2[i, v] = cur_f
+            cur_f = victim
+            i = int(_ck_alt(np.array([i]), np.array([cur_f]), n_buckets)[0])
+        else:
+            raise RuntimeError(
+                "cuckoo filter over capacity — size m_bits for the expected "
+                "shard load (achievable load factor is ~0.95)"
+            )
+
+
+def _ck_delete(t2: np.ndarray, n_buckets: int, slots: int, h1: np.ndarray) -> np.ndarray:
+    """Remove ONE stored fingerprint per key (the cuckoo differentiator —
+    bloom cannot do this).  Per-item loop: retractions are rare events,
+    not the hot path.  Returns the removed mask."""
+    f = _ck_fp(h1)
+    i1 = _ck_i1(h1, n_buckets)
+    i2 = _ck_alt(i1, f, n_buckets)
+    removed = np.zeros(len(h1), dtype=bool)
+    for j in range(len(h1)):
+        for b in (int(i1[j]), int(i2[j])):
+            row = t2[b]
+            hit = np.flatnonzero(row == f[j])
+            if len(hit):
+                last = np.count_nonzero(row) - 1
+                row[hit[0]] = row[last]  # keep the bucket packed
+                row[last] = 0
+                removed[j] = True
+                break
+    return removed
+
+
 def _contains(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     mode, data, m_bits, k = _decode(blob)
+    if mode == "cuckoo":
+        return _ck_contains(data, m_bits, k, h1)  # (n_buckets, slots) ride the header slots
     if mode == "exact":
         # blob is kept sorted -> binary search beats np.isin's hashing
         if len(data) == 0:
@@ -90,6 +243,10 @@ def _contains(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 
 def _insert(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> bytes:
     mode, data, m_bits, k = _decode(blob)
+    if mode == "cuckoo":
+        t2 = data.reshape(m_bits, k).copy()  # header (n_buckets, slots)
+        _ck_insert(t2, m_bits, k, h1)
+        return blob[:20] + t2.tobytes()
     if mode == "exact":
         # data is already sorted — merge the (small) fresh batch in at
         # O(S + B log B) instead of re-sorting the whole blob
@@ -105,6 +262,29 @@ def _insert(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> bytes:
             (1 << (idx & np.uint64(7))).astype(np.uint8),
         )
     return BLOOM_MAGIC + struct.pack("<QQ", m_bits, k) + bits.tobytes()
+
+
+def delete_from_blob(blob: bytes, h1: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Retract keys from a deletable blob: (new_blob, removed_mask).
+
+    ``cuckoo`` removes one matching fingerprint per key; ``exact``
+    removes the hash from the sorted array.  ``bloom`` raises — a Bloom
+    bitset cannot delete, which is precisely why the north-star design
+    pairs it with cuckoo as the alternative codec.
+    """
+    mode, data, a, b = _decode(blob)
+    if mode == "cuckoo":
+        t2 = data.reshape(a, b).copy()
+        removed = _ck_delete(t2, a, b, h1)
+        return blob[:20] + t2.tobytes(), removed
+    if mode == "exact":
+        if len(data) == 0:
+            return blob, np.zeros(len(h1), dtype=bool)
+        idx = np.searchsorted(data, h1)
+        idx[idx == len(data)] = 0
+        removed = data[idx] == h1
+        return EXACT_MAGIC + np.delete(data, idx[removed]).tobytes(), removed
+    raise ValueError("bloom blobs do not support deletion — use mode='cuckoo'")
 
 
 # ---------------------------------------------------------------------------
@@ -767,6 +947,14 @@ class PySeenFilter:
         self.blobs[s] = _insert(self.blobs[s], h1, h2)
         self.n_items[s] += 1
         return True
+
+    def discard(self, url: str) -> bool:
+        """Retract a url (cuckoo/exact only); returns True if removed."""
+        s, h1, _h2 = self._route(url)
+        self.blobs[s], removed = delete_from_blob(self.blobs[s], h1)
+        if removed[0]:
+            self.n_items[s] -= 1
+        return bool(removed[0])
 
     def add_all(self, urls: Iterable[str]) -> list[str]:
         return [u for u in urls if self.add(u)]

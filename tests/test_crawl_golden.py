@@ -186,7 +186,7 @@ def test_dead_letters_identical(spark_run, pyref_run):
     assert len(got) > 0  # B4 dead-letter path exercised
 
 
-@pytest.mark.parametrize("mode", ["bloom", "anti", "bitword", "abucket"])
+@pytest.mark.parametrize("mode", ["bloom", "cuckoo", "anti", "bitword", "abucket"])
 def test_seen_modes_match_exact(spark, fixtures, tmp_path_factory, pyref_run, mode):
     """Same crawl under every alternative seen-filter strategy — identical
     ordering, seen set, AND per-round counters.  bloom/bitword FPs would

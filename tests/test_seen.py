@@ -11,7 +11,7 @@ def _urls(n, prefix="http://h.org/p/"):
     return [f"{prefix}{i}.html" for i in range(n)]
 
 
-@pytest.mark.parametrize("mode", ["exact", "bloom"])
+@pytest.mark.parametrize("mode", ["exact", "bloom", "cuckoo"])
 def test_spark_matches_python(spark, mode):
     n_shards, m_bits, k = 4, 1 << 16, 7
     first = _urls(200)
@@ -443,6 +443,68 @@ def test_bloom_no_false_negatives_and_fpr():
     probe = _urls(5000, prefix="http://other.org/q/")
     fp = sum(py.contains(u) for u in probe)
     assert fp / len(probe) < 0.01  # sized for ~2.6 bits... generous bound
+
+
+def test_cuckoo_no_false_negatives_and_fpr():
+    """Cuckoo codec at HIGH load (~76%): every inserted key answers seen
+    (no false negatives even after displacement chains), and the FPR on
+    unseen keys stays near the 2*slots/2^16 design bound."""
+    # 2 shards x (1<<18 bits -> 1024 buckets x 4 slots) = 8192 capacity
+    py = PySeenFilter("cuckoo", n_shards=2, m_bits=1 << 18, k=7)
+    inserted = _urls(6200)
+    assert sorted(py.add_batch(inserted)) == sorted(inserted)
+    assert all(py.contains(u) for u in inserted)  # no false negatives
+    probe = _urls(50000, prefix="http://other.org/q/")
+    fp = sum(py.contains(u) for u in probe)
+    # design FPR ~ 2*4/65536 * load ~= 0.009%; allow generous slack
+    assert fp / len(probe) < 0.002
+
+
+def test_cuckoo_delete_then_readmit():
+    """The cuckoo differentiator vs bloom: a politeness retraction deletes
+    the fingerprint, after which the url is admittable again — and bloom
+    refuses the same operation loudly."""
+    import pytest as _pytest
+
+    py = PySeenFilter("cuckoo", n_shards=2, m_bits=1 << 14, k=7)
+    urls = _urls(300)
+    py.add_batch(urls)
+    assert py.discard(urls[7])
+    assert not py.contains(urls[7])
+    assert not py.discard(urls[7])  # second delete finds nothing
+    assert py.add(urls[7])  # re-admittable
+    assert py.contains(urls[7])
+    # untouched keys unaffected by the back-swap repacking
+    assert all(py.contains(u) for u in urls)
+
+    bl = PySeenFilter("bloom", n_shards=1, m_bits=1 << 12, k=3)
+    bl.add("http://x.org/")
+    with _pytest.raises(ValueError, match="bloom"):
+        bl.discard("http://x.org/")
+
+
+def test_cuckoo_insert_order_invariant():
+    """Blob layout is a pure function of (prior state, batch SET): the
+    Spark cogroup and the pyref twin may present the same fresh batch in
+    different orders, so _insert must sort internally."""
+    import numpy as np
+
+    from geocrawl_spark.seen import _insert, empty_blob
+
+    blob = empty_blob("cuckoo", 1 << 14, 7)
+    h = np.random.default_rng(3).integers(1, 2**63, 500, dtype=np.int64).view(np.uint64)
+    assert _insert(blob, h, h) == _insert(blob, h[::-1].copy(), h[::-1].copy())
+
+
+def test_cuckoo_overflow_raises():
+    """Over-capacity insert must fail loudly (sizing bug), never silently
+    drop a key — a dropped key would be a FALSE NEGATIVE, re-crawling the
+    same url forever."""
+    import pytest as _pytest
+
+    tiny = PySeenFilter("cuckoo", n_shards=1, m_bits=16 * 4 * 4, k=7)  # 16 slots
+    with _pytest.raises(RuntimeError, match="capacity"):
+        tiny.add_batch(_urls(64))
 
 
 def test_monotone_property():
