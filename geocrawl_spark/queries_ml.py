@@ -660,6 +660,255 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+#: random-hyperplane LSH (SimHash-for-embeddings, Charikar STOC'02) —
+#: the second ANN scale path next to trained IVF.  BANDS hash tables,
+#: each keyed by an r-bit signature (r sign bits of pseudo-random ±1
+#: hyperplane projections); a query's candidates are the vectors sharing
+#: ANY band value.  r is NOT a constant: like the IVF K it is derived
+#: from the corpus size — r = max(R_MIN, ceil(log2(ceil(n / TARGET)))) —
+#: so the expected bucket size stays ~TARGET vectors at any scale
+#: (the standard "scale the hash width with log n" LSH practice) instead
+#: of buckets growing linearly with the corpus at fixed r.  Pure integer
+#: math, replicated exactly in the DuckDB twin (:func:`_hp_sql_ctes`'s
+#: ``rr`` CTE via a generate-series min).  The ±1 weights are
+#: md5-derived — w(b, d) = +1 iff the first hex digit of
+#: md5('hp{b}_{d}') is even — so both engines materialize the identical
+#: hyperplanes with no RNG.
+_HP_BANDS = 4
+_HP_TARGET_BUCKET = 25
+_HP_R_MIN = 4
+
+#: per-(band, value) fence for candidate generation, same contract as
+#: :data:`_IVF_BUCKET_CAP`: a skewed signature bucket contributes at most
+#: CAP candidates per probe, deterministically (first CAP vec_ids), and
+#: NEVER silently — :func:`hyperplane_bucket_stats` reports kept/dropped.
+_HP_BUCKET_CAP = 8 * _HP_TARGET_BUCKET
+
+
+def _hp_r_of(n: int) -> int:
+    """Bits per band for an ``n``-vector corpus: smallest r with
+    2^r >= ceil(n / TARGET), floored at R_MIN.  Integer twin of the
+    DuckDB ``rr`` CTE."""
+    m = max(1, (n + _HP_TARGET_BUCKET - 1) // _HP_TARGET_BUCKET)
+    return max(_HP_R_MIN, (m - 1).bit_length())
+
+
+def _hp_sql_ctes() -> str:
+    """CTE chain ``v, n, mm, rr, u, bs, w, s, bv`` — the DuckDB twin of
+    :func:`_hp_band_vals`: corpus-derived r, md5-derived ±1 weights,
+    6dp-rounded projection sums, sign bits packed into per-band values.
+    ``bv`` yields (vec_id, band, band_val)."""
+    r = "(select r from rr)"
+    return f"""v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    n as (select vec_id, e, sqrt(list_dot_product(e, e)) as nrm from v),
+    mm as (select greatest(1, (count(*) + {_HP_TARGET_BUCKET - 1}) // {_HP_TARGET_BUCKET}) as m from n),
+    rr as (select greatest({_HP_R_MIN}, (select min(t.r) from range(1, 41) t(r)
+           where (1::BIGINT << t.r) >= (select m from mm))) as r),
+    u as (select vec_id, unnest(e) as val, generate_subscripts(e, 1) as dim from n),
+    bs as (select unnest(range(0, {_HP_BANDS} * {r})) as b),
+    w as (select b, d.dim,
+            case when strpos('02468ace', substr(md5('hp' || b::VARCHAR || '_' ||
+                 (d.dim - 1)::VARCHAR), 1, 1)) > 0 then 1.0 else -1.0 end as wt
+          from bs cross join (select distinct dim from u) d),
+    s as (select u.vec_id, w.b, round(sum(u.val * w.wt), 6) as sv
+          from u join w on u.dim = w.dim group by u.vec_id, w.b),
+    bv as (select vec_id, b // {r} as band,
+            sum(case when sv >= 0 then 1::BIGINT << (b % {r}) else 0::BIGINT end) as band_val
+           from s group by vec_id, band)"""
+
+
+def _hp_cand_sql() -> str:
+    """CTEs ``tcap, qp, cand`` on top of :func:`_hp_sql_ctes`: capped
+    target buckets, multi-probe query expansion (the exact band value
+    plus every single-bit flip — Lv et al., VLDB'07), distinct candidate
+    pairs.  Twin of the candidate stage in :func:`sim_hyperplane_topk`."""
+    return f"""tcap as (select vec_id, band, band_val from (
+        select vec_id, band, band_val,
+               row_number() over (partition by band, band_val order by vec_id) as rn
+        from bv) where rn <= {_HP_BUCKET_CAP}),
+    qp as (select vec_id as query_id, band,
+                  case when i = 0 then band_val
+                       else xor(band_val, 1::BIGINT << (i - 1)) end as band_val
+           from bv cross join (select unnest(range(0, (select r from rr) + 1)) as i)
+           where vec_id % 50 = 0),
+    cand as (select distinct qp.query_id, t.vec_id as target_id
+             from qp join tcap t on qp.band = t.band and qp.band_val = t.band_val
+             where t.vec_id != qp.query_id)"""
+
+
+def _hp_band_vals(spark: SparkSession, n: DataFrame, r: int) -> DataFrame:
+    """(vec_id, e, nrm) -> (vec_id, band, band_val): LSH signatures as
+    {BANDS} per-vector band values, each packing r projection sign bits.
+
+    Scale shape: the hyperplane matrix is a (BANDS*r)-row DataFrame of
+    weight arrays BROADCAST into a cross join — one corpus pass computing
+    n x BANDS*r JVM-side array dot products (zip_with/aggregate, no
+    Python), then a (vec_id, band) groupBy packs bits.  Linear in n; no
+    explode of the corpus by dimension.  Projection sums are rounded to
+    6dp before the sign test so Spark's and DuckDB's float summation
+    orders agree (same accepted hazard class as the Lloyd rounding,
+    :func:`_ivf_assign_ranked`)."""
+    n_bits = _HP_BANDS * r
+    dim = n.select(F.size("e").alias("d")).head()[0]  # bounded 1-row read
+    planes = spark.range(n_bits).select(
+        F.col("id").alias("b"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("hp"),
+                            F.col("id").cast("string"),
+                            F.lit("_"),
+                            d.cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin(*"02468ace"),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ).alias("w"),
+    )
+    sv = n.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "b", F.round(_dot(F.col("e"), F.col("w")), 6).alias("sv")
+    )
+    packed = F.expr(
+        f"sum(case when sv >= 0 then shiftleft(cast(1 as bigint), "
+        f"cast(b % {r} as int)) else cast(0 as bigint) end)"
+    )
+    return (
+        sv.select("vec_id", "sv", F.expr(f"b div {r}").alias("band"), "b")
+        .groupBy("vec_id", "band")
+        .agg(packed.alias("band_val"))
+    )
+
+
+@_q(
+    "sim_hyperplane_topk",
+    f"""
+    with {_hp_sql_ctes()},
+    {_hp_cand_sql()},
+    pairs as (select query_id, target_id,
+                     round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 3) as cos
+              from cand join n a on a.vec_id = cand.query_id
+                        join n b on b.vec_id = cand.target_id)
+    select query_id, target_id, cos from (
+      select *, row_number() over (partition by query_id
+                                   order by cos desc, target_id) as rk
+      from pairs) where rk <= 3
+    """,
+)
+def sim_hyperplane_topk(spark, sf_dir):
+    """ANN top-3 via random-hyperplane LSH — the second scale path next
+    to :func:`sim_ivf_topk`, with a different trade: no training pass at
+    all (the hyperplanes are data-independent), candidates arrive through
+    {BANDS} banded equi-joins on r-bit sign signatures, and exact cosine
+    reranks them.  Multi-probe (Lv et al., VLDB'07): each query probes
+    its exact band value AND every single-bit flip of it — a QUERY-SIDE
+    r+1x expansion that tolerates one disagreeing projection per band,
+    which is what keeps recall up as the corpus-derived r grows
+    (measured: 0.075 -> ~0.6 at sf0.1; scripts/hyperplane_recall.py,
+    recorded in BENCH/BASELINE.md).  r is corpus-derived
+    (:func:`_hp_r_of`) so expected bucket occupancy stays ~TARGET at any
+    scale, making per-query candidate work
+    O(BANDS * (r+1) * TARGET) = O(log n) — sublinear, the LSH
+    counterpart of IVF's sqrt(K) probe schedule; skewed buckets are
+    fenced by the per-bucket cap (drops reported by
+    :func:`hyperplane_bucket_stats`).  At 100 TB the whole plan is: one
+    broadcast cross join (signatures), one shuffle on (band, band_val)
+    (candidates), one shuffle on ids (rerank) — no training iteration,
+    no all-pairs."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    r = _hp_r_of(_vec_count(sf_dir, "embeddings", e))
+    bv = _hp_band_vals(spark, n, r)
+    wcap = Window.partitionBy("band", "band_val").orderBy("vec_id")
+    t = (
+        bv.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _HP_BUCKET_CAP)
+        .drop("rn")
+    )
+    q = (
+        bv.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "band",
+            "band_val",
+            F.explode(F.sequence(F.lit(0), F.lit(r))).alias("i"),
+        )
+        .select(
+            "query_id",
+            "band",
+            F.expr(
+                "case when i = 0 then band_val else cast(band_val as bigint) ^ "
+                "shiftleft(cast(1 as bigint), cast(i - 1 as int)) end"
+            ).alias("band_val"),
+        )
+    )
+    cand = (
+        q.join(t, ["band", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("target_id"))
+        .distinct()
+    )
+    a = n.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("target_id"), F.col("e").alias("te"),
+        F.col("nrm").alias("tn"),
+    )
+    pairs = cand.join(a, "query_id").join(b, "target_id").select(
+        "query_id",
+        "target_id",
+        F.round(
+            _dot(F.col("qe"), F.col("te")) / (F.col("qn") * F.col("tn")), 3
+        ).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "target_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "target_id", "cos")
+    )
+
+
+@_q(
+    "hyperplane_bucket_stats",
+    f"""
+    with {_hp_sql_ctes()}
+    select band, band_val, count(*)::bigint as n_vectors,
+           least(count(*), {_HP_BUCKET_CAP})::bigint as n_kept,
+           greatest(count(*) - {_HP_BUCKET_CAP}, 0)::bigint as n_dropped
+    from bv group by band, band_val
+    """,
+)
+def hyperplane_bucket_stats(spark, sf_dir):
+    """Per-(band, value) occupancy + drop accounting for the hyperplane
+    LSH family — the 'no silent truncation' contract as a first-class
+    oracle query, mirroring :func:`ivf_bucket_stats`: any capping
+    :func:`sim_hyperplane_topk` performs on a skewed signature bucket is
+    visible here (and printed by scripts/hyperplane_recall.py)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    r = _hp_r_of(_vec_count(sf_dir, "embeddings", e))
+    bv = _hp_band_vals(spark, n, r)
+    cnt = F.count("*").cast("long")
+    cap = F.lit(_HP_BUCKET_CAP).cast("long")
+    return bv.groupBy("band", "band_val").agg(
+        cnt.alias("n_vectors"),
+        F.least(cnt, cap).alias("n_kept"),
+        F.greatest(cnt - cap, F.lit(0).cast("long")).alias("n_dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
