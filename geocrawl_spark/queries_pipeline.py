@@ -737,6 +737,161 @@ def stratified_sample_hash(spark, sf_dir):
 #: oracle scale; the operator is budget-agnostic)
 _SHARD_TOKENS = 2000
 
+# ---------------------------------------------------------------------------
+# freshness: recrawl scheduling + tiered host refresh
+# ---------------------------------------------------------------------------
+
+#: "the page changed" stand-in on the synthetic events stream: one event
+#: type (~20% of observations) plays the role of a content-hash delta
+#: between consecutive fetches of the same page.  The estimator below is
+#: type-agnostic; production feeds it (url, fetch_ts, changed) triples
+#: from the crawl log.
+_CHANGE_EVENT = "purchase"
+
+#: a page is due for refresh when estimated-change-rate x staleness-age
+#: exceeds this (millionths x seconds).  Chosen near the corpus median
+#: so both due and not-due rows exist at every test scale factor.
+_RECRAWL_DUE = 5_000_000_000
+
+
+@_q(
+    "recrawl_schedule",
+    f"""
+    with obs as (
+      select user_id as page_id,
+             count(*)::bigint as n_obs,
+             sum(case when event_type = '{_CHANGE_EVENT}' then 1 else 0 end)::bigint
+               as n_changes,
+             max(ts) as last_ts
+      from events group by 1
+    ),
+    h as (select max(epoch_ms(ts) // 1000)::bigint as horizon from events)
+    select page_id, n_obs, n_changes,
+           (n_changes * 1000000 // n_obs)::bigint as change_millionths,
+           ((select horizon from h) - epoch_ms(last_ts) // 1000)::bigint as age_sec,
+           ((n_changes * 1000000 // n_obs)
+             * ((select horizon from h) - epoch_ms(last_ts) // 1000))::bigint
+             as staleness,
+           (case when (n_changes * 1000000 // n_obs)
+                      * ((select horizon from h) - epoch_ms(last_ts) // 1000)
+                      >= {_RECRAWL_DUE} then 1 else 0 end)::bigint as due
+    from obs
+    """,
+)
+def recrawl_schedule(spark, sf_dir):
+    """RECRAWL SCHEDULING — the freshness operator a crawl engine runs
+    between BFS discoveries (Cho & Garcia-Molina, "Effective Page
+    Refresh Policies for Web Crawlers", TODS'03, first-order form): per
+    page, estimate the change rate as the fraction of past observations
+    that saw a change, and prioritize by ``change_rate x age`` — the
+    expected number of missed changes since the last fetch.  Pages
+    whose score crosses the module threshold are ``due``; the engine's
+    politeness pop consumes the score exactly like depth-priority.
+
+    All arithmetic is INTEGER (change rate in millionths, age in whole
+    epoch seconds via millisecond floor-division) — bit-identical across
+    engines by construction, the :func:`host_pagerank` fixed-point rule;
+    no exp()/ln() (the exact Poisson estimator's logarithm is a libm
+    half-boundary hazard cross-engine, and first-order staleness ranks
+    identically for the small per-fetch change probabilities a crawler
+    sees).
+
+    Scale shape: one groupBy(page) with map-side partial agg over the
+    fetch log + a 1-row horizon agg joined in — no window, no global
+    sort; the DUE set is a filter, and production pops top-k of it with
+    the same salted per-host two-phase heap as the politeness batch
+    (:func:`geocrawl_spark.politeness.pop_batch`), never a global
+    row_number."""
+    e = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; the session runs UTC, so the cast
+    # pins the same naive-as-UTC reading DuckDB's epoch_ms uses
+    sec = lambda c: F.floor(  # noqa: E731
+        F.unix_millis(c.cast("timestamp")) / 1000
+    ).cast("long")
+    obs = e.groupBy(F.col("user_id").alias("page_id")).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum((F.col("event_type") == _CHANGE_EVENT).cast("long"))
+        .cast("long")
+        .alias("n_changes"),
+        F.max("ts").alias("last_ts"),
+    )
+    h = e.agg(F.max(sec(F.col("ts"))).alias("horizon"))
+    idiv = lambda a, b: F.floor(a / b).cast("long")  # noqa: E731
+    cm = idiv(F.col("n_changes") * 1_000_000, F.col("n_obs"))
+    age = (F.col("horizon") - sec(F.col("last_ts"))).cast("long")
+    stale = (cm * age).cast("long")
+    return obs.crossJoin(h).select(
+        "page_id",
+        "n_obs",
+        "n_changes",
+        cm.alias("change_millionths"),
+        age.alias("age_sec"),
+        stale.alias("staleness"),
+        (stale >= _RECRAWL_DUE).cast("long").alias("due"),
+    )
+
+
+#: tier cut points as rank fractions of the host population: tier 0 =
+#: top 20% of hosts by PageRank (refetched every round), tier 1 = next
+#: 30%, tier 2 = the tail.  refresh_every_rounds is the per-tier refresh
+#: period the engine's round loop would consult.
+_TIER_REFRESH = (1, 4, 16)
+
+
+@_q(
+    "crawl_tier_assign",
+    f"""
+    with pr as (select * from ({ORACLE_SQL["host_pagerank"]})),
+    n as (select count(*)::bigint as n from pr),
+    rk as (select host, pagerank,
+                  row_number() over (order by pagerank desc, host) as rank
+           from pr)
+    select host, pagerank, rank::bigint as rank,
+           (case when rank * 5 <= (select n from n) then 0
+                 when rank * 2 <= (select n from n) then 1
+                 else 2 end)::bigint as tier,
+           (case when rank * 5 <= (select n from n) then {_TIER_REFRESH[0]}
+                 when rank * 2 <= (select n from n) then {_TIER_REFRESH[1]}
+                 else {_TIER_REFRESH[2]} end)::bigint as refresh_every_rounds
+    from rk
+    """,
+)
+def crawl_tier_assign(spark, sf_dir):
+    """TIERED CRAWL ASSIGNMENT: rank hosts by :func:`host_pagerank` and
+    cut the ranking into refresh tiers — tier 0 (top 20% of hosts)
+    refetches every round, tier 1 (next 30%) every 4th, tier 2 every
+    16th — the standard tiered-recrawl layout (high-value hosts fresh,
+    the long tail cheap).  Complements :func:`recrawl_schedule`: tiers
+    budget REFRESH CAPACITY per host class; the staleness score orders
+    pages within it.
+
+    Scale shape: the host dimension is tiny next to the page corpus (it
+    broadcasts into every engine join already), so the global
+    row_number over hosts is a dimension-table sort, not a corpus
+    shuffle; ties break on host name and pagerank is integer-derived
+    (:func:`host_pagerank`), so ranks are deterministic cross-engine."""
+    pr = host_pagerank(spark, sf_dir)
+    n = pr.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("pagerank"), F.asc("host"))
+    rk = pr.withColumn("rank", F.row_number().over(w).cast("long"))
+    tier = (
+        F.when(F.col("rank") * 5 <= F.col("n"), F.lit(0))
+        .when(F.col("rank") * 2 <= F.col("n"), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    refresh = (
+        F.when(F.col("rank") * 5 <= F.col("n"), F.lit(_TIER_REFRESH[0]))
+        .when(F.col("rank") * 2 <= F.col("n"), F.lit(_TIER_REFRESH[1]))
+        .otherwise(F.lit(_TIER_REFRESH[2]))
+    )
+    return rk.crossJoin(n).select(
+        "host",
+        "pagerank",
+        "rank",
+        tier.cast("long").alias("tier"),
+        refresh.cast("long").alias("refresh_every_rounds"),
+    )
+
 
 @_q(
     "token_shard_assign",

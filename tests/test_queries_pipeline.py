@@ -280,3 +280,78 @@ def test_corpus_clean_reason_precedence(spark, tmp_path):
     # the dup-pair keeper survives its own cluster
     assert rows[0]["reason"] in ("ok", "repetition")  # not a dup reason
     assert rows[0]["doc_id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# freshness: recrawl scheduling + tiered refresh
+# ---------------------------------------------------------------------------
+
+def test_recrawl_estimator_math(spark, tmp_path):
+    """Hand-built fetch log: a hot always-changing page observed long ago
+    outranks (and is due before) a cold never-changing one; the integer
+    estimator columns match by-hand arithmetic exactly."""
+    import datetime as dt
+
+    from geocrawl_spark.queries_pipeline import (
+        _RECRAWL_DUE,
+        recrawl_schedule,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # page 1: 4 obs, every one a change, last seen day 1
+    for i in range(4):
+        rows.append((i, t0 + dt.timedelta(days=1, seconds=i), 1, "purchase", 0.0, "{}"))
+    # page 2: 4 obs, zero changes, last seen day 1 (same age as page 1)
+    for i in range(4):
+        rows.append((10 + i, t0 + dt.timedelta(days=1, seconds=i), 2, "view", 0.0, "{}"))
+    # page 3: 3 obs, one change, fetched again at day 10 (the horizon)
+    rows.append((20, t0, 3, "purchase", 0.0, "{}"))
+    rows.append((21, t0 + dt.timedelta(days=5), 3, "view", 0.0, "{}"))
+    rows.append((22, t0 + dt.timedelta(days=10), 3, "view", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["page_id"]: r for r in recrawl_schedule(spark, str(tmp_path)).collect()}
+
+    age = 9 * 86400 - 3  # horizon (day 10) - page 1/2 last obs (day 1 + 3 s)
+    assert got[1]["change_millionths"] == 1_000_000
+    assert got[1]["age_sec"] == age and got[1]["staleness"] == 1_000_000 * age
+    assert got[1]["due"] == 1 and got[1]["staleness"] >= _RECRAWL_DUE
+    # never-changed page: rate 0 -> staleness 0 regardless of age
+    assert got[2]["change_millionths"] == 0
+    assert got[2]["staleness"] == 0 and got[2]["due"] == 0
+    # just-refetched page: age 0 -> staleness 0 even with changes
+    assert got[3]["change_millionths"] == 333_333
+    assert got[3]["age_sec"] == 0 and got[3]["due"] == 0
+
+
+def test_recrawl_due_nonvacuous_at_sf001(spark):
+    from geocrawl_spark.queries_pipeline import recrawl_schedule
+
+    due = {
+        r["due"]
+        for r in recrawl_schedule(spark, SF001).select("due").distinct().collect()
+    }
+    assert due == {0, 1}  # threshold splits the corpus at test scale
+
+
+def test_tier_cuts_and_refresh_map(spark):
+    from geocrawl_spark.queries_pipeline import _TIER_REFRESH, crawl_tier_assign
+
+    rows = crawl_tier_assign(spark, SF001).collect()
+    n = len(rows)
+    assert n == 20  # host dimension of the synthetic corpus
+    assert sorted(r["rank"] for r in rows) == list(range(1, n + 1))
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r)
+        assert r["refresh_every_rounds"] == _TIER_REFRESH[r["tier"]]
+    # top 20% / next 30% / tail split of 20 hosts
+    assert {t: len(v) for t, v in by_tier.items()} == {0: 4, 1: 6, 2: 10}
+    # tiers follow the ranking: every tier-0 rank < every tier-1 rank < ...
+    assert max(r["rank"] for r in by_tier[0]) < min(r["rank"] for r in by_tier[1])
+    assert max(r["rank"] for r in by_tier[1]) < min(r["rank"] for r in by_tier[2])
