@@ -792,6 +792,88 @@ class CrawlEngine:
             r += 1
         return log
 
+    def refresh(self, urls: DataFrame) -> int:
+        """RECRAWL: re-queue already-crawled URLs for fetching — the
+        engine half of the freshness operators (select WHAT to refresh
+        with :func:`geocrawl_spark.queries_pipeline.recrawl_schedule` /
+        ``crawl_tier_assign``; this method makes the frontier re-fetch
+        it).  Frontier rows for the given urls whose status is
+        ``fetched`` or ``missing`` are reset to ``pending`` (fetch_round
+        / fetch_seq cleared); the next :meth:`run` pops them through the
+        identical politeness / budget / ordering machinery as first-time
+        discoveries.  Unknown or still-pending urls are ignored — the
+        deterministic contract the pyref twin mirrors.
+
+        No seen-filter retraction is needed: the seen filter gates NEW
+        candidate admission, and a refreshed url is already IN the
+        frontier — its re-extracted links simply dedupe against the seen
+        set (counted, like any repeat observation).  Works in every seen
+        mode for the same reason.
+
+        Commit shape: one MERGE delta on the frontier touching ONLY the
+        BFS layers containing refreshed rows (O(selected layers), never
+        O(frontier)) + unchanged seen/hostcarry snapshots carried
+        forward, committed as a round of its own (no crawl_log /
+        host_log rows — the manifest records exactly what a refresh
+        wrote).  A kill mid-refresh leaves the previous round intact
+        (the manifest rename is the commit point, as everywhere).
+
+        Returns the number of re-queued urls (0 commits nothing)."""
+        r_prev = self.io.latest_round()
+        if r_prev is None:
+            raise ValueError("refresh() before init_state(): nothing crawled yet")
+        round_no = r_prev + 1
+        frontier = self.io.read_table(self.spark, "frontier", r_prev)
+        sel = urls.select(canonicalize_url_expr("url").alias("url")).distinct()
+        refreshable = frontier.join(sel, "url", "left_semi").filter(
+            F.col("status").isin("fetched", "missing")
+        )
+        # ONE bounded job: touched BFS layers + selected-row count
+        layer_set, n_sel = refreshable.agg(
+            F.collect_set("discovered_round"), F.count("*")
+        ).collect()[0]
+        if not n_sel:
+            return 0
+        touched = sorted(int(x) for x in layer_set)
+        base = frontier.filter(F.col("discovered_round").isin(touched))
+        marked = base.join(sel.withColumn("_sel", F.lit(True)), "url", "left")
+        hit = F.coalesce(F.col("_sel"), F.lit(False)) & F.col("status").isin(
+            "fetched", "missing"
+        )
+        rewritten = marked.select(
+            "url",
+            "host",
+            "depth",
+            "priority",
+            "discovered_round",
+            F.when(hit, F.lit("pending")).otherwise(F.col("status")).alias("status"),
+            F.when(hit, F.lit(None).cast("long"))
+            .otherwise(F.col("fetch_round"))
+            .alias("fetch_round"),
+            F.when(hit, F.lit(None).cast("long"))
+            .otherwise(F.col("fetch_seq"))
+            .alias("fetch_seq"),
+        )
+        self.io.write_table_delta(
+            rewritten, "frontier", round_no, "discovered_round", touched, r_prev
+        )
+        if self.mode != "abucket":
+            # snapshot modes: next round reads seen_shards@round_no — carry
+            # the unchanged state forward (abucket's store needs no write:
+            # an absent round partition is simply no new hashes)
+            self.io.write_table(
+                self.io.read_table(self.spark, "seen_shards", r_prev),
+                "seen_shards",
+                round_no,
+            )
+        self.io.write_table(
+            self.io.read_table(self.spark, "hostcarry", r_prev), "hostcarry", round_no
+        )
+        self.io.commit_round(
+            round_no, ["frontier", *self._state_tables(), "hostcarry"]
+        )
+        return int(n_sel)
+
     def compact_seen(self, upto_round: int) -> dict | None:
         """Compact the abucket seen store's partitions ``<= upto_round``
         into its base partition (manifest-gated; no-op for other modes).

@@ -283,6 +283,24 @@ class PyRefCrawl:
         return counters
 
     # ------------------------------------------------------------------
+    def refresh(self, urls) -> int:
+        """Twin of CrawlEngine.refresh: reset fetched/missing frontier
+        rows of the given urls to pending (fetch bookkeeping cleared);
+        unknown or still-pending urls are ignored.  The caller then runs
+        more rounds — numbering note: the engine's refresh COMMITS a
+        round of its own, so the next engine fetch round is
+        latest+2; mirror by calling run_round with that number."""
+        n = 0
+        for u in sorted({canonicalize_url(u) for u in urls}):
+            row = self.frontier.get(u)
+            if row is not None and row["status"] in ("fetched", "missing"):
+                row["status"] = "pending"
+                row["fetch_round"] = None
+                row["fetch_seq"] = None
+                n += 1
+        return n
+
+    # ------------------------------------------------------------------
     def run(self, max_rounds: int = 100) -> None:
         self.init_state()
         r = 1
