@@ -792,6 +792,26 @@ class CrawlEngine:
             r += 1
         return log
 
+    def stale_urls(self, max_age_rounds: int) -> DataFrame:
+        """Engine-native refresh selector: urls whose last fetch is more
+        than ``max_age_rounds`` committed rounds old (fetched OR missing
+        — a 404 is re-checked on the same schedule).  The crawl-log twin
+        of the wall-clock freshness operators: corpus-level selectors
+        (:func:`geocrawl_spark.queries_pipeline.recrawl_schedule`'s
+        change-rate x age, ``crawl_tier_assign``'s rank tiers) decide
+        policy; this reads the engine's own frontier state so
+        ``eng.refresh(eng.stale_urls(k))`` is a complete recrawl loop
+        with no external table.  Pure frontier scan — one filter, no
+        shuffle; partition pruning applies via the manifest's layer
+        map."""
+        cutoff = self.io.latest_round() - max_age_rounds
+        f = self.io.read_table(self.spark, "frontier")
+        return (
+            f.filter(F.col("status").isin("fetched", "missing"))
+            .filter(F.col("fetch_round") <= cutoff)
+            .select("url")
+        )
+
     def refresh(self, urls: DataFrame) -> int:
         """RECRAWL: re-queue already-crawled URLs for fetching — the
         engine half of the freshness operators (select WHAT to refresh

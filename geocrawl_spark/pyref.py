@@ -283,6 +283,21 @@ class PyRefCrawl:
         return counters
 
     # ------------------------------------------------------------------
+    def stale_urls(self, max_age_rounds: int, latest_round: int) -> list[str]:
+        """Twin of CrawlEngine.stale_urls — urls last fetched (or found
+        missing) more than ``max_age_rounds`` before ``latest_round``.
+        The engine derives latest_round from its manifest; the oracle has
+        no manifest, so the caller passes the matching round number."""
+        cutoff = latest_round - max_age_rounds
+        return sorted(
+            u
+            for u, row in self.frontier.items()
+            if row["status"] in ("fetched", "missing")
+            and row["fetch_round"] is not None
+            and row["fetch_round"] <= cutoff
+        )
+
+    # ------------------------------------------------------------------
     def refresh(self, urls) -> int:
         """Twin of CrawlEngine.refresh: reset fetched/missing frontier
         rows of the given urls to pending (fetch bookkeeping cleared);

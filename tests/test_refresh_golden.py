@@ -112,6 +112,15 @@ def test_refresh_golden_exact(spark, fixtures, tmp_path_factory):
     assert eng.crawl_order() == _frontier_order(ref)
     # seen set untouched by the whole refresh cycle
     assert eng.seen_urls() == ref.seen_urls()
+    # engine-native stale selector matches the oracle twin: with the
+    # cutoff at the refresh commit, exactly the NON-refreshed originals
+    # are stale (refreshed urls carry recent fetch rounds)
+    latest = eng.io.latest_round()
+    age = latest - (min(e["round"] for e in eng_log) - 1)
+    got_stale = sorted(r["url"] for r in eng.stale_urls(age).collect())
+    want_stale = ref.stale_urls(age, latest)
+    assert got_stale == want_stale
+    assert 0 < len(got_stale) < len(ref.crawl_order)
 
 
 def test_refresh_golden_abucket(spark, fixtures, tmp_path_factory):
