@@ -738,6 +738,105 @@ def stratified_sample_hash(spark, sf_dir):
 _SHARD_TOKENS = 2000
 
 # ---------------------------------------------------------------------------
+# crawl hygiene: spider-trap host detection
+# ---------------------------------------------------------------------------
+
+#: a host is trap-suspect when its urls' average path depth (in integer
+#: millionths of a segment) crosses this — deep auto-generated url
+#: spaces (calendars, faceted search, session paths) run much deeper
+#: than hand-authored content.  Depth is scale-INDEPENDENT (unlike raw
+#: url counts), so the same threshold works at every corpus size.
+_TRAP_DEPTH_MILLIONTHS = 3_000_000
+
+
+@_q(
+    "spider_trap_hosts",
+    f"""
+    with u as (
+      select distinct
+             'host' || (doc_id % 12)::varchar as host,
+             case when doc_id % 12 < 2
+                  then '/cal/' || (doc_id // 12)::varchar || '/'
+                       || (doc_id // 5)::varchar || '/' || doc_id::varchar || '.html'
+                  else '/p/' || (doc_id % 30)::varchar || '.html' end as path
+      from documents
+    ),
+    d as (select host, path,
+                 len(string_split(path, '/')) - 1 as depth,
+                 string_split(path, '/')[2] as prefix
+          from u)
+    select host,
+           count(*)::bigint as n_urls,
+           count(distinct prefix)::bigint as n_prefixes,
+           (count(*) * 1000000 // count(distinct prefix))::bigint
+             as urls_per_prefix_millionths,
+           (sum(depth) * 1000000 // count(*))::bigint as avg_depth_millionths,
+           (case when sum(depth) * 1000000 // count(*) >= {_TRAP_DEPTH_MILLIONTHS}
+             then 1 else 0 end)::bigint as trap
+    from d group by host
+    """,
+)
+def spider_trap_hosts(spark, sf_dir):
+    """SPIDER-TRAP detection — the crawl-hygiene operator that keeps an
+    unbounded url space (calendar pages, faceted search, session-id
+    paths) from eating the frontier (Heydon & Najork, "Mercator: A
+    scalable, extensible Web crawler", WWW'99 §3.3 discusses the trap
+    problem; the depth/fan-out heuristic is the standard defense).  Over
+    a deterministic url population synthesized from doc_id (two of
+    twelve hosts get deep /cal/y/m/d paths unique per doc — the trap
+    shape — the rest shallow bounded /p/N.html), compute per host: url
+    count, distinct first-segment count, urls-per-prefix, and average
+    path depth; flag hosts whose depth crosses the module threshold.
+    Depth is the scale-independent signal (url counts grow with the
+    corpus; path shapes do not), so the flag is stable across scale
+    factors.  All-integer arithmetic per the fixed-point rule.
+
+    Scale shape: one distinct + one groupBy(host) with map-side partial
+    aggs — the same two-shuffle shape as any per-host rollup; at 100 TB
+    the engine would feed REAL frontier urls through the identical
+    second half (the synthesis CTE stands in for the frontier scan)."""
+    d = _t(spark, sf_dir, "documents")
+    deep = F.col("doc_id") % 12 < 2
+    path = F.when(
+        deep,
+        F.concat(
+            F.lit("/cal/"),
+            (F.col("doc_id") / 12).cast("long").cast("string"),
+            F.lit("/"),
+            (F.col("doc_id") / 5).cast("long").cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 30).cast("string"), F.lit(".html"))
+    )
+    u = d.select(
+        F.concat(F.lit("host"), (F.col("doc_id") % 12).cast("string")).alias("host"),
+        path.alias("path"),
+    ).distinct()
+    seg = F.split(F.col("path"), "/")
+    dd = u.select(
+        "host",
+        (F.size(seg) - 1).alias("depth"),
+        F.element_at(seg, 2).alias("prefix"),
+    )
+    idiv = lambda a, b: F.floor(a / b).cast("long")  # noqa: E731
+    cnt = F.count("*").cast("long")
+    return dd.groupBy("host").agg(
+        cnt.alias("n_urls"),
+        F.countDistinct("prefix").cast("long").alias("n_prefixes"),
+        idiv(cnt * 1_000_000, F.countDistinct("prefix")).alias(
+            "urls_per_prefix_millionths"
+        ),
+        idiv(F.sum("depth") * 1_000_000, cnt).alias("avg_depth_millionths"),
+        (
+            idiv(F.sum("depth") * 1_000_000, cnt) >= _TRAP_DEPTH_MILLIONTHS
+        ).cast("long").alias("trap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # freshness: recrawl scheduling + tiered host refresh
 # ---------------------------------------------------------------------------
 

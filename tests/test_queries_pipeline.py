@@ -355,3 +355,18 @@ def test_tier_cuts_and_refresh_map(spark):
     # tiers follow the ranking: every tier-0 rank < every tier-1 rank < ...
     assert max(r["rank"] for r in by_tier[0]) < min(r["rank"] for r in by_tier[1])
     assert max(r["rank"] for r in by_tier[1]) < min(r["rank"] for r in by_tier[2])
+
+
+def test_spider_trap_flags_deep_hosts(spark):
+    from geocrawl_spark.queries_pipeline import spider_trap_hosts
+
+    rows = {r["host"]: r for r in spider_trap_hosts(spark, SF001).collect()}
+    assert len(rows) == 12
+    traps = {h for h, r in rows.items() if r["trap"] == 1}
+    assert traps == {"host0", "host1"}  # exactly the deep /cal/ hosts
+    for h, r in rows.items():
+        if h in traps:
+            assert r["avg_depth_millionths"] == 4_000_000  # /cal/y/m/d.html
+        else:
+            assert r["avg_depth_millionths"] == 2_000_000  # /p/N.html
+            assert r["n_urls"] <= 30  # bounded shallow url space
