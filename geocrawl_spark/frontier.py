@@ -154,6 +154,7 @@ class CrawlEngine:
         compact_seen_every: int | None = None,
         cache_pages: bool = False,
         host_rank: DataFrame | None = None,
+        log_links: bool = False,
     ):
         self.spark = spark
         #: Caching the pages corpus is OPT-IN (small-corpus / test / bench
@@ -208,6 +209,14 @@ class CrawlEngine:
             if host_rank is not None
             else None
         )
+        #: Opt-in link-graph logging: per round, persist every extracted
+        #: (src_url, dst_url, kind) edge as a `links` table — the input
+        #: to host_link_graph() -> queries_pipeline.pagerank_integer ->
+        #: the host_rank prioritization dimension, closing the
+        #: crawl -> link graph -> rank -> prioritized-crawl loop on REAL
+        #: edges.  Default off: one extra per-round write, and goldens/
+        #: bench measure the reference-parity path.
+        self.log_links = log_links
         #: E3 global per-round batch ceiling (ORDER BY priority LIMIT n):
         #: per-host budgets alone let a frontier with 10M hosts fetch
         #: 10M x budget pages in one round; the cap bounds the round
@@ -559,19 +568,29 @@ class CrawlEngine:
                 .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
                 .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
             )
-            cand = (
-                links.withColumn(
-                    "kind",
-                    F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
-                        A.is_asset_expr(F.col("canon")), F.lit("asset")
-                    ),
+            kinded = links.withColumn(
+                "kind",
+                F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
+                    A.is_asset_expr(F.col("canon")), F.lit("asset")
+                ),
+            ).filter(F.col("kind").isNotNull())
+            if self.log_links:
+                writes.append(
+                    pool.submit(
+                        self.io.write_table,
+                        kinded.select(
+                            F.col("url").alias("src_url"),
+                            F.col("canon").alias("dst_url"),
+                            "kind",
+                        ),
+                        "links",
+                        round_no,
+                    )
                 )
-                .filter(F.col("kind").isNotNull())
-                .select(
-                    F.col("canon").alias("url"),
-                    (F.col("depth") + 1).alias("depth"),
-                    "kind",
-                )
+            cand = kinded.select(
+                F.col("canon").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+                "kind",
             )
 
             # --- single admission pass (seen filter + robots) ------------
@@ -706,6 +725,7 @@ class CrawlEngine:
             round_no,
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
              "crawl_log", "extracted", "metadata", "dead_letters", "host_log",
+             "links",  # opt-in link-graph log (declared only when written)
              "batch"],  # batch = global_sequence's range files (committed,
                         # so rollback cleans them — no orphan scratch dirs)
         )
@@ -928,6 +948,22 @@ class CrawlEngine:
             r["url"]
             for r in df.select("url").distinct().orderBy("url").collect()
         ]
+
+
+def host_link_graph(spark: SparkSession, io: TableIO) -> DataFrame | None:
+    """The crawl's REAL host graph from the opt-in ``links`` log
+    (``CrawlEngine(log_links=True)``): distinct (src_host, dst_host)
+    edges across all committed rounds — the input
+    :func:`geocrawl_spark.queries_pipeline.pagerank_integer` ranks to
+    produce the engine's ``host_rank`` prioritization dimension.
+    Returns None when no round logged links."""
+    links = read_all_rounds(spark, io, "links")
+    if links is None:
+        return None
+    return links.select(
+        host_expr(F.col("src_url")).alias("u"),
+        host_expr(F.col("dst_url")).alias("v"),
+    ).distinct()
 
 
 def read_all_rounds(spark: SparkSession, io: TableIO, name: str) -> DataFrame | None:

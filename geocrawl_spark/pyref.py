@@ -83,6 +83,7 @@ class PyRefCrawl:
         self.admitted: list[tuple[str, str]] = []
         self.crawl_order: list[tuple[int, int, str]] = []
         self.extracted: dict[str, str] = {}  # url -> extracted text
+        self.links: list[tuple[str, str, str]] = []  # (src, dst, kind) edges
         self.metadata: list[dict] = []
         self.dead_letters: list[tuple[str, int]] = []
         self.counters_log: list[dict] = []
@@ -208,6 +209,9 @@ class PyRefCrawl:
                     kind = "asset"
                 else:
                     continue
+                # twin of the engine's opt-in links log: every extracted
+                # (src, dst, kind) edge occurrence, pre-admission-dedup
+                self.links.append((row["url"], canon, kind))
                 if canon not in cands or d < cands[canon][0]:
                     cands[canon] = (d, kind)
 

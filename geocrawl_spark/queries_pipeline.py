@@ -644,15 +644,35 @@ def host_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    outd = rawe.groupBy("u").agg(F.count("*").cast("long").alias("od"))
-    e = rawe.join(outd, "u").select("u", "v", "od")
+    return pagerank_integer(hosts, rawe)
+
+
+def pagerank_integer(
+    hosts: DataFrame, edges: DataFrame, iters: int = _PR_ITERS
+) -> DataFrame:
+    """Reusable integer-fixed-point PageRank core: ``hosts(host)``,
+    ``edges(u, v)`` -> ``(host, pagerank)`` after ``iters`` damped power
+    iterations (the :func:`host_pagerank` arithmetic, factored out so the
+    ENGINE can rank the REAL link graph its crawl logged —
+    ``CrawlEngine(log_links=True)`` -> :func:`frontier.host_link_graph`
+    -> here -> the ``host_rank`` prioritization dimension; the oracle
+    query feeds it the deterministic synthetic graph instead).
+
+    Dangling nodes (no out-edges) simply contribute no flow — their
+    damped mass leaks, deterministically, like the floor remainders; the
+    teleport term keeps every host positive.  Same scale shape as the
+    oracle query: per iteration one equi-join rank-flow + groupBy(v)
+    sum, rank vector = |hosts| rows (broadcastable at any realistic
+    host count)."""
+    outd = edges.groupBy("u").agg(F.count("*").cast("long").alias("od"))
+    e = edges.join(outd, "u").select("u", "v", "od")
     nn = hosts.agg(F.count("*").cast("long").alias("nn"))
     idiv = lambda a, b: F.floor(a / b).cast("long")  # noqa: E731
     base = _PR_SCALE - _PR_SCALE * _PR_D_PERMILLE // 1000
     pr = hosts.crossJoin(nn).select(
         "host", idiv(F.lit(_PR_SCALE), F.col("nn")).alias("r"), "nn"
     )
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         acc = (
             pr.join(e, pr.host == e.u)
             .groupBy(F.col("v").alias("host"))
