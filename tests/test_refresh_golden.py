@@ -144,3 +144,29 @@ def test_refresh_noop_commits_nothing(spark, fixtures, tmp_path_factory):
     )
     assert n == 0
     assert eng.io.latest_round() == before  # no round committed
+
+
+def test_refresh_resume_new_engine(spark, fixtures, tmp_path_factory):
+    """H4 x recrawl: after a refresh commit, a BRAND-NEW engine instance
+    (fresh driver state, manifest only) continues the recrawl to the
+    identical ordering — the kill-between-refresh-and-repop window."""
+    ref = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], fixtures["robots"], fixtures["budget"]
+    )
+    ref.run(max_rounds=50)
+    d = tmp_path_factory.mktemp("refresh_resume")
+    eng = _mk_engine(spark, fixtures, d, "exact")
+    eng.run(max_rounds=50)
+    sel = _refresh_selection(ref)
+    n_ref = ref.refresh(sel)
+    n_eng = eng.refresh(spark.createDataFrame([(u,) for u in sel], "url string"))
+    assert n_eng == n_ref > 0
+    r_commit = eng.io.latest_round()
+    # "kill": abandon the first engine; a new one resumes from disk
+    eng2 = _mk_engine(spark, fixtures, d, "exact")
+    eng2.run(max_rounds=30)
+    r = r_commit + 1
+    while ref.run_round(r) is not None:
+        r += 1
+    assert eng2.crawl_order() == _frontier_order(ref)
+    assert eng2.seen_urls() == ref.seen_urls()
