@@ -539,6 +539,7 @@ class CrawlEngine:
             flagged = self.spark.createDataFrame(
                 [], "url string, host string, depth long, kind string, denied boolean"
             ).persist()
+            kinded = None
             parents, parsed, persist_state = [], None, None
             f_nassets = f_ndead = None
             if self.mode != "abucket":
@@ -575,6 +576,10 @@ class CrawlEngine:
                 ),
             ).filter(F.col("kind").isNotNull())
             if self.log_links:
+                # the links write and the admission pass both consume the
+                # exploded/extracted edge set — persist it so the pandas
+                # link-extraction UDF runs once per page, not twice
+                kinded = kinded.persist()
                 writes.append(
                     pool.submit(
                         self.io.write_table,
@@ -733,6 +738,8 @@ class CrawlEngine:
         for df in (fetched, flagged, parsed, pend_h, done_h, *parents):
             if df is not None:
                 df.unpersist()
+        if self.log_links and kinded is not None:
+            kinded.unpersist()
         if os.environ.get("GEOCRAWL_PROFILE"):
             spans = [
                 f"{label}={t1 - t0:.2f}s"
