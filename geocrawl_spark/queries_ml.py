@@ -31,15 +31,16 @@ def _words(col):
 
 
 def _shingles(words):
-    """Distinct word 3-grams (guarded for short docs)."""
+    """Distinct word 3-grams (guarded for short docs).
+
+    ``words`` should be a PROJECTED array column, not a raw ``F.split``
+    expression: expression substitution inlines ``words`` at every
+    reference, so an unprojected split re-tokenizes per reference
+    (the queries_pipeline._grams_expr lesson, measured 8.7x at W=10).
+    slice + concat_ws keeps it to one reference per gram."""
     n = F.size(words)
     idx = F.sequence(F.lit(1), n - 2)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
-    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
     return F.when(n >= 3, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
@@ -125,8 +126,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (bounded) candidate pairs x (few distinct hot shingles), so the
     reported jaccard is the TRUE value over the full shingle sets."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
+    dw = d.select("doc_id", _words(F.col("text")).alias("ws"))
+    sh = dw.select(
+        "doc_id", F.explode(_shingles(F.col("ws"))).alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     # one groupBy(s) materializes each shingle's (sorted) posting list;
@@ -200,7 +202,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     -> band-bucket join (the scale path: pairs share a bucket, never
     all-pairs)."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s"))
+    dw = d.select("doc_id", _words(F.col("text")).alias("ws"))
+    sh = dw.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh_{j}")

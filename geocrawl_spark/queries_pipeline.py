@@ -297,11 +297,16 @@ _TOPWORD_MAX = 0.10
 
 def _grams_expr(words, n: int):
     """Overlapping word n-grams as an array column (empty when the doc is
-    shorter than n words)."""
+    shorter than n words).
+
+    ``words`` should be a PROJECTED column (``.select(split(...).alias)``)
+    rather than a raw ``F.split`` expression: expression substitution
+    inlines ``words`` at every reference, so an unprojected split is
+    re-tokenized per gram (measured 8.7x slower at sf0.1).  slice +
+    concat_ws keeps the references to one per gram."""
     sz = F.size(words)
     idx = F.sequence(F.lit(1), sz - (n - 1))
-    parts = lambda i: [F.element_at(words, i + j) for j in range(n)]  # noqa: E731
-    gram = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return F.when(sz >= n, gram).otherwise(F.array().cast("array<string>"))
 
 
@@ -373,10 +378,11 @@ def gopher_repetition(spark, sf_dir):
     partial aggregation — the same bounded shingle shuffle as the dedup
     family; no window wider than one document's distinct grams."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    dw = d.select("doc_id", F.split("text", " ").alias("ws"))
+    words = F.col("ws")
 
     def top_char_frac(n: int, out: str) -> DataFrame:
-        g = d.select(
+        g = dw.select(
             "doc_id", F.explode(_grams_expr(words, n)).alias("g")
         )
         c = g.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("cnt"))
@@ -391,14 +397,14 @@ def gopher_repetition(spark, sf_dir):
         )
 
     top2 = top_char_frac(2, "chars2")
-    g5 = d.select("doc_id", F.explode(_grams_expr(words, 5)).alias("g"))
+    g5 = dw.select("doc_id", F.explode(_grams_expr(words, 5)).alias("g"))
     c5 = g5.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("cnt"))
     dup5 = (
         c5.filter(F.col("cnt") > 1)
         .groupBy("doc_id")
         .agg(F.sum(F.col("cnt") * (F.length("g") + 1)).alias("chars5"))
     )
-    wtab = d.select("doc_id", F.explode(words).alias("w"))
+    wtab = dw.select("doc_id", F.explode(words).alias("w"))
     cw = wtab.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("cnt"))
     ww = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("w"))
     topw = (
@@ -470,10 +476,10 @@ def decontaminate_ngram(spark, sf_dir):
     corpus n-gram stream — one corpus explode + map-side-combined
     groupBy(doc_id), never a corpus-vs-corpus shuffle."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    sh = d.select(
+    dw = d.select("doc_id", F.split("text", " ").alias("ws"))
+    sh = dw.select(
         "doc_id",
-        F.explode(F.array_distinct(_grams_expr(words, _DECON_N))).alias("s"),
+        F.explode(F.array_distinct(_grams_expr(F.col("ws"), _DECON_N))).alias("s"),
     )
     bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("s").distinct()
     return (
@@ -1059,4 +1065,207 @@ def token_shard_assign(spark, sf_dir):
         "lang",
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / _SHARD_TOKENS).cast("long").alias("shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication profile (ExactSubstr-lite, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+#: span width for the duplicated-substring profile.  Lee et al. dedup at
+#: 50-token substrings; the synthetic docs are 20-60 words, so 10 keeps
+#: every doc in scope while remaining long enough that chance collisions
+#: of the 20-word vocabulary are negligible at oracle scale.
+_SPAN_W = 10
+
+
+@_q(
+    "dup_span_stats",
+    f"""
+    with g as (
+      select doc_id, md5(gram) as gh
+      from (select doc_id, unnest({_grams_sql(_SPAN_W)}) as gram
+            from documents)
+    ),
+    c as (
+      select doc_id, count(*) over (partition by gh) as cnt
+      from g
+    )
+    select doc_id,
+           count(*)::bigint as n_spans,
+           sum(case when cnt >= 2 then 1 else 0 end)::bigint as dup_spans,
+           ((1000 * sum(case when cnt >= 2 then 1 else 0 end))
+              // count(*))::bigint as dup_permille
+    from c
+    group by doc_id
+    order by doc_id
+    """,
+)
+def dup_span_stats(spark, sf_dir):
+    """Per-doc duplicated-substring profile: the fraction (permille) of a
+    doc's overlapping _SPAN_W-word spans that occur anywhere else in the
+    corpus (including elsewhere in the same doc) — the selection metric
+    of ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": any substring repeated in the corpus is a
+    removal candidate).  Docs shorter than _SPAN_W words have no spans
+    and emit no row (documented; explode, not explode_outer).
+
+    Integer permille via floor division — no float ratio crosses the
+    engine boundary (the PageRank-millionths rule).
+
+    Scale shape: the span explode is ~len(doc) rows/doc; duplication is
+    one count-over-window keyed by the span hash (a single shuffle whose
+    groups are tiny — a span's corpus frequency), then a per-doc
+    re-aggregate.  No join back to the corpus, no all-pairs anywhere;
+    this is exactly the suffix-array-free approximation that survives
+    10^10 docs.  Span hash is md5 for oracle portability (xxhash64 in
+    production would halve the shuffle width)."""
+    d = _t(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.split("text", " ").alias("ws"))
+    g = dw.select(
+        "doc_id", F.explode(_grams_expr(F.col("ws"), _SPAN_W)).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("gh"))
+    cnt = F.count("*").over(Window.partitionBy("gh"))
+    c = g.select("doc_id", cnt.alias("cnt"))
+    agg = c.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_spans"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_spans",
+        "dup_spans",
+        F.expr("(1000 * dup_spans) div n_spans").alias("dup_permille"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25-shaped lexical top-k retrieval (inverted-index join shape)
+# ---------------------------------------------------------------------------
+
+#: fixed query terms for the ranked-retrieval operator (drawn from the
+#: synthetic vocabulary so every term has non-trivial df).
+_BM25_TERMS = ("spark", "join", "window", "merge")
+_BM25_K = 15
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@_q(
+    "bm25_topk",
+    f"""
+    with w as (
+      select doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') as ws
+      from documents
+    ),
+    stats as (
+      select count(*)::bigint as n_docs, sum(len(ws))::bigint as total_len
+      from w
+    ),
+    tok as (
+      select doc_id, len(ws)::bigint as dl, unnest(ws) as term from w
+    ),
+    tf as (
+      select doc_id, dl, term, count(*)::bigint as tf
+      from tok
+      where term in ({_bm25_terms_sql()})
+      group by doc_id, dl, term
+    ),
+    dft as (
+      select term, count(distinct doc_id)::bigint as df_t from tf group by term
+    ),
+    sc as (
+      select tf.doc_id,
+             sum(((s.n_docs * 1000) // dft.df_t)
+                 * ((44 * tf.tf * s.total_len * 1000000)
+                    // (20 * tf.tf * s.total_len + 6 * s.total_len
+                        + 18 * tf.dl * s.n_docs)))::bigint as score,
+             count(*)::bigint as n_terms
+      from tf
+      join dft using (term)
+      cross join stats s
+      group by tf.doc_id
+    )
+    select row_number() over (order by score desc, doc_id)::bigint as rnk,
+           doc_id, score, n_terms
+    from sc
+    order by score desc, doc_id
+    limit {_BM25_K}
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25-shaped lexical top-k retrieval over the documents table for a
+    fixed term set — the keyword-search counterpart of sim_*_topk.  The
+    plan is the inverted-index join shape: tokenize, KEEP ONLY query
+    terms (the filter sits directly on the generated tokens, so 100 TB of
+    non-matching text never reaches the shuffle), tf per (doc, term), a
+    broadcast-sized df-per-term dim, corpus stats as a 1-row broadcast.
+
+    Scoring is Robertson BM25 with k1=1.2, b=0.75 re-derived in scaled
+    INTEGER floor division (k1, b as exact rationals; avgdl folded in as
+    total_len/n_docs without ever materializing the ratio):
+
+      tfc   = (44*tf*L*10^6) div (20*tf*L + 6*L + 18*dl*N)   # micro-units
+      idf_m = (N*1000) div df                                # milli-units
+      score = sum(idf_m * tfc)
+
+    idf is the simplified N/df form (not the log variant) because ln()
+    is libm-dependent and a 1-ulp difference between DuckDB and the JVM
+    would flip a half-boundary — the same reason PageRank runs in
+    integer millionths.  Ranking order for the log and linear forms
+    agrees at these df ranges; documented divergence from textbook BM25.
+
+    Top-k: global orderBy(score desc, doc_id).limit(k) — Spark plans
+    TakeOrdered (per-partition heaps, no full sort); the row_number rank
+    is applied AFTER the limit so its single-partition window only ever
+    sees k rows."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        F.explode(words).alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    stats = d.select(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("total_len"),
+    )
+    dft = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "((n_docs * 1000) div df_t)"
+                " * ((44 * tf * total_len * 1000000)"
+                "    div (20 * tf * total_len + 6 * total_len"
+                "         + 18 * dl * n_docs))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_score").cast("long").alias("score"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_K)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "doc_id",
+        "score",
+        "n_terms",
     )

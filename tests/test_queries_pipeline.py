@@ -370,3 +370,78 @@ def test_spider_trap_flags_deep_hosts(spark):
         else:
             assert r["avg_depth_millionths"] == 2_000_000  # /p/N.html
             assert r["n_urls"] <= 30  # bounded shallow url space
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span profile + BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def test_dup_span_stats_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import _SPAN_W, dup_span_stats
+
+    base = [f"w{i}" for i in range(_SPAN_W + 2)]  # 12 words -> 3 spans
+    shared = " ".join(base)
+    unique = " ".join(f"u{i}" for i in range(_SPAN_W))  # 10 words -> 1 span
+    short = "too short"  # < _SPAN_W words -> no row
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [(shared, "en"), (shared, "en"), (unique, "en"), (short, "en")],
+    )
+    rows = {r["doc_id"]: r for r in dup_span_stats(spark, sf).collect()}
+    # doc 3 (short) emits nothing; docs 0/1 are full duplicates of each
+    # other (every span duplicated); doc 2 is fully unique
+    assert set(rows) == {0, 1, 2}
+    for d in (0, 1):
+        assert rows[d]["n_spans"] == 3
+        assert rows[d]["dup_spans"] == 3
+        assert rows[d]["dup_permille"] == 1000
+    assert rows[2]["n_spans"] == 1
+    assert rows[2]["dup_spans"] == 0
+    assert rows[2]["dup_permille"] == 0
+
+
+def test_dup_span_within_doc_repeat_counts(spark, tmp_path):
+    # ExactSubstr semantics: a span repeated WITHIN one doc is duplicated
+    from geocrawl_spark.queries_pipeline import _SPAN_W, dup_span_stats
+
+    span = " ".join(f"r{i}" for i in range(_SPAN_W))
+    text = span + " " + span  # 20 words; spans at pos 0 and 10 are equal
+    sf = _docs_dir(spark, tmp_path, [(text, "en")])
+    (row,) = dup_span_stats(spark, sf).collect()
+    assert row["n_spans"] == _SPAN_W + 1
+    assert row["dup_spans"] == 2  # only the two aligned copies collide
+    assert row["dup_permille"] == (1000 * 2) // (_SPAN_W + 1)
+
+
+def test_bm25_ranking_properties(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import _BM25_K, _BM25_TERMS, bm25_topk
+
+    filler = " ".join(["x"] * 30)
+    rows = [
+        ("spark spark spark join window merge " + filler, "en"),  # all terms
+        ("spark " + filler, "en"),
+        (filler, "en"),  # no terms -> never ranked
+    ] + [(f"noise n{i} " + filler, "en") for i in range(5)]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = bm25_topk(spark, sf).collect()
+    # only docs containing >=1 query term appear, rank is dense from 1
+    assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))
+    assert len(got) == 2 and len(got) <= _BM25_K
+    assert got[0]["doc_id"] == 0 and got[0]["n_terms"] == len(_BM25_TERMS)
+    assert got[1]["doc_id"] == 1 and got[1]["n_terms"] == 1
+    assert got[0]["score"] > got[1]["score"] > 0
+
+
+def test_bm25_plan_shape(spark):
+    # inverted-index contract: term filter sits on the exploded tokens
+    # (not post-join), dims broadcast, top-k via TakeOrdered (no global
+    # sort); the only row_number window runs AFTER the limit.
+    from geocrawl_spark.queries_pipeline import bm25_topk
+
+    plan = (
+        bm25_topk(spark, SF001)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Filter term") >= 2  # pushed into tf AND df branches
