@@ -1269,3 +1269,184 @@ def bm25_topk(spark, sf_dir):
         "score",
         "n_terms",
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new crawl batch vs the retained corpus
+# ---------------------------------------------------------------------------
+
+#: deterministic stand-in for the incoming crawl batch (in production:
+#: this round's freshly fetched docs); the rest is the retained corpus.
+_BATCH_MOD = 10
+#: true-Jaccard admission threshold in millionths (the verify-before-
+#: closure rule: LSH candidacy alone over-merges; see cluster_eval).
+_INC_JACC_MIN = 500_000
+
+
+def _incremental_sql() -> str:
+    from .queries_ml import _N_BANDS, _SHINGLE_SQL
+
+    mins = ", ".join(f"min(md5('{j}|' || s)) as mh_{j}" for j in range(_N_BANDS))
+    bands = " union all ".join(
+        f"select doc_id, {j} as band, mh_{j} as mh from sig"
+        for j in range(_N_BANDS)
+    )
+    return f"""
+    with sh0 as (
+      select doc_id, unnest({_SHINGLE_SQL}) as s from documents
+    ),
+    sizes as (select doc_id, count(*)::bigint as n from sh0 group by doc_id),
+    sig as (select doc_id, {mins} from sh0 group by doc_id),
+    bands as ({bands}),
+    cand as (
+      select distinct b.doc_id as doc_b, c.doc_id as doc_c
+      from bands b
+      join bands c on b.band = c.band and b.mh = c.mh
+      where b.doc_id % {_BATCH_MOD} = 0 and c.doc_id % {_BATCH_MOD} != 0
+    ),
+    inter as (
+      select cand.doc_b, cand.doc_c, count(*)::bigint as i
+      from cand
+      join sh0 sb on sb.doc_id = cand.doc_b
+      join sh0 sc on sc.doc_id = cand.doc_c and sc.s = sb.s
+      group by 1, 2
+    ),
+    j as (
+      select c.doc_b, c.doc_c,
+             ((1000000 * coalesce(i.i, 0))
+                // (nb.n + nc.n - coalesce(i.i, 0))) as jm
+      from cand c
+      left join inter i on i.doc_b = c.doc_b and i.doc_c = c.doc_c
+      join sizes nb on nb.doc_id = c.doc_b
+      join sizes nc on nc.doc_id = c.doc_c
+    ),
+    ranked as (
+      select *, row_number() over (partition by doc_b
+                                   order by jm desc, doc_c) as rn
+      from j
+    ),
+    ncand as (select doc_b, count(*)::bigint as nc from j group by doc_b)
+    select d.doc_id,
+           coalesce(ncand.nc, 0)::bigint as n_candidates,
+           r.doc_c as best_match,
+           r.jm::bigint as best_jacc_millionths,
+           (case when r.jm is null or r.jm < {_INC_JACC_MIN}
+                 then 1 else 0 end)::bigint as keep
+    from documents d
+    left join ncand on ncand.doc_b = d.doc_id
+    left join ranked r on r.doc_b = d.doc_id and r.rn = 1
+    where d.doc_id % {_BATCH_MOD} = 0
+    order by d.doc_id
+    """
+
+
+@_q("dedup_incremental", _incremental_sql())
+def dedup_incremental(spark, sf_dir):
+    """INCREMENTAL dedup — the operator a growing corpus actually runs
+    every ingest round: near-dup-match only the incoming batch
+    (doc_id % _BATCH_MOD == 0 as the deterministic stand-in) against the
+    retained corpus, never corpus-vs-corpus.  Candidates come from the
+    same MinHash band buckets as :func:`queries_ml.dedup_minhash_lsh`
+    but the band join is batch x corpus only, so per-round cost scales
+    with |batch|, not |corpus|; admission applies the TRUE 3-gram
+    Jaccard on candidates (the verify-before-closure rule — LSH
+    candidacy alone over-merges, measured in scripts/cluster_eval.py).
+
+    Output, one row per batch doc: LSH candidate count, best corpus
+    match by true Jaccard (ties to the smaller corpus doc_id), the
+    Jaccard in integer millionths (floor division — no float crosses
+    the engine boundary), and the keep decision at 0.5.
+
+    Scale shape: intersections are computed by fanning each candidate
+    PAIR out over the batch doc's shingles and hash-joining against the
+    corpus doc's shingles on (corpus_doc, shingle) — cost is
+    |candidates| x |doc|, never a posting-list blowup on hot shingles.
+    At 10^10 docs the corpus band table is the precomputed index (stored
+    bucketed by (band, mh)); the batch side is tiny and broadcasts."""
+    from .queries_ml import _N_BANDS, _shingles, _words
+
+    d = _t(spark, sf_dir, "documents")
+    dw = d.select("doc_id", _words(F.col("text")).alias("ws"))
+    sh = dw.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
+    is_batch = F.col("doc_id") % _BATCH_MOD == 0
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh_{j}")
+            for j in range(_N_BANDS)
+        ]
+    )
+    bands = None
+    for j in range(_N_BANDS):
+        bj = sig.select(
+            "doc_id", F.lit(j).alias("band"), F.col(f"mh_{j}").alias("mh")
+        )
+        bands = bj if bands is None else bands.unionByName(bj)
+    cand = (
+        bands.filter(is_batch)
+        .select(F.col("doc_id").alias("doc_b"), "band", "mh")
+        .join(
+            bands.filter(~is_batch).select(
+                F.col("doc_id").alias("doc_c"), "band", "mh"
+            ),
+            ["band", "mh"],
+        )
+        .select("doc_b", "doc_c")
+        .distinct()
+    )
+    sh_b = sh.filter(is_batch).withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
+    sh_c = sh.filter(~is_batch).select(
+        F.col("doc_id").alias("cdoc"), F.col("s").alias("sc")
+    )
+    inter = (
+        cand.join(sh_b, "doc_b")
+        .join(
+            sh_c,
+            (F.col("doc_c") == F.col("cdoc")) & (F.col("sb") == F.col("sc")),
+        )
+        .groupBy("doc_b", "doc_c")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    j = (
+        cand.join(inter, ["doc_b", "doc_c"], "left")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"}), "doc_b")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_c", "n": "n_c"}), "doc_c")
+        .select(
+            "doc_b",
+            "doc_c",
+            F.expr(
+                "(1000000 * coalesce(i, 0)) div (n_b + n_c - coalesce(i, 0))"
+            ).alias("jm"),
+        )
+    )
+    w = Window.partitionBy("doc_b").orderBy(F.desc("jm"), F.asc("doc_c"))
+    best = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ncand = j.groupBy("doc_b").agg(F.count("*").cast("long").alias("nc"))
+    batch = d.filter(is_batch).select("doc_id")
+    return (
+        batch.join(ncand.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .join(
+            best.select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("doc_c").alias("best_match"),
+                F.col("jm").alias("best_jacc_millionths"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("nc", F.lit(0)).cast("long").alias("n_candidates"),
+            "best_match",
+            F.col("best_jacc_millionths").cast("long"),
+            F.when(
+                F.col("best_jacc_millionths").isNull()
+                | (F.col("best_jacc_millionths") < _INC_JACC_MIN),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -445,3 +445,45 @@ def test_bm25_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Filter term") >= 2  # pushed into tf AND df branches
+
+
+def test_dedup_incremental_decisions(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import dedup_incremental
+
+    tmpl = " ".join(f"t{i}" for i in range(30))
+    rows = []
+    # doc 0 (batch): identical to corpus doc 1 -> drop, match=1, jacc=1.0
+    rows.append((tmpl, "en"))
+    rows.append((tmpl, "en"))
+    # docs 2..9 corpus noise (distinct vocab, no bands shared)
+    for i in range(2, 10):
+        rows.append((" ".join(f"c{i}_{k}" for k in range(20)), "en"))
+    # doc 10 (batch): all-fresh vocab -> keep, no candidates
+    rows.append((" ".join(f"f{k}" for k in range(20)), "en"))
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dedup_incremental(spark, sf).collect()}
+    assert set(got) == {0, 10}  # only batch docs reported
+    assert got[0]["keep"] == 0
+    assert got[0]["best_match"] == 1
+    assert got[0]["best_jacc_millionths"] == 1_000_000
+    assert got[10]["keep"] == 1
+    assert got[10]["n_candidates"] == 0
+    assert got[10]["best_match"] is None
+
+
+def test_dedup_incremental_lsh_candidate_below_threshold_kept(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import dedup_incremental
+
+    # batch doc 0 shares a band-minimum shingle run with corpus doc 1
+    # (common prefix) but true jaccard stays < 0.5 -> candidate, kept
+    prefix = " ".join(f"p{i}" for i in range(8))
+    rows = [
+        (prefix + " " + " ".join(f"a{i}" for i in range(40)), "en"),
+        (prefix + " " + " ".join(f"b{i}" for i in range(40)), "en"),
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dedup_incremental(spark, sf).collect()}
+    r0 = got[0]
+    if r0["n_candidates"] > 0:  # band collision depends on min-hash luck
+        assert r0["best_jacc_millionths"] < 500_000
+    assert r0["keep"] == 1
