@@ -108,7 +108,9 @@ def _cc_star(edges: DataFrame, max_phases: int = 60) -> tuple[DataFrame, int]:
     collect_list, so a 10^8-degree hub never materializes its
     neighborhood in one task.  Convergence witness: (count,
     xxhash64-sum) signature of the canonical edge set, one 1-row agg
-    action per phase; lineage truncated per phase with localCheckpoint.
+    action per large+small PAIR (monotonicity makes an unchanged pair a
+    sufficient fixed-point proof); lineage truncated per phase with
+    localCheckpoint.
 
     Returns ``(labels, n_phases)`` with the same (doc, lab) schema as
     :func:`_cc_min_label`.
@@ -128,7 +130,7 @@ def _cc_star(edges: DataFrame, max_phases: int = 60) -> tuple[DataFrame, int]:
         # materialize: phase 1 reads this twice (sym union + signature)
         .localCheckpoint(eager=False)
     )
-    prev_sig, unchanged, phases = None, 0, 0
+    prev_sig, phases = None, 0
     for i in range(max_phases):
         phases = i + 1
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -152,23 +154,29 @@ def _cc_star(edges: DataFrame, max_phases: int = 60) -> tuple[DataFrame, int]:
             .distinct()
             .localCheckpoint(eager=False)
         )
-        sig = tuple(
-            e.agg(
-                F.count("*").alias("n"),
-                # decimal accumulator: ±2^63 hash values overflow a long
-                # sum under ANSI mode
-                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-            ).collect()[0]
-        )
-        # fixed point = NEITHER operator changes the edge set: require
-        # two consecutive unchanged phases (one large-star + one
-        # small-star); a single no-change phase is not sufficient — a
-        # chain can be large-star-stable while small-star still
-        # contracts it
-        unchanged = unchanged + 1 if sig == prev_sig else 0
-        if unchanged >= 2:
-            break
-        prev_sig = sig
+        # fixed point = NEITHER operator changes the edge set.  The
+        # witness is checked once per large+small PAIR (after the
+        # small-star half): a signature unchanged across a whole pair
+        # means both halves were no-ops — sufficient because
+        # contraction is monotone (each node's minimum never increases,
+        # so the edge set cannot change and change back within a pair).
+        # Checking per-phase would need TWO consecutive unchanged
+        # phases anyway (a chain can be large-star-stable while
+        # small-star still contracts it) at twice the driver actions;
+        # the lazy localCheckpoints of both halves materialize under
+        # this single action, keeping lineage O(1).
+        if i % 2 == 1:
+            sig = tuple(
+                e.agg(
+                    F.count("*").alias("n"),
+                    # decimal accumulator: ±2^63 hash values overflow a
+                    # long sum under ANSI mode
+                    F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+                ).collect()[0]
+            )
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     else:
         raise RuntimeError(
             f"star contraction did not converge in {max_phases} phases"
