@@ -155,6 +155,7 @@ class CrawlEngine:
         cache_pages: bool = False,
         host_rank: DataFrame | None = None,
         log_links: bool = False,
+        adaptive_budget: bool = False,
     ):
         self.spark = spark
         #: Caching the pages corpus is OPT-IN (small-corpus / test / bench
@@ -196,6 +197,15 @@ class CrawlEngine:
         #: otherwise grows one partition x n_buckets files per round).
         #: None = never (callers may invoke compact_seen() themselves).
         self.compact_seen_every = compact_seen_every
+        #: Opt-in error-rate feedback on the per-host budget (crawl
+        #: hygiene): a host whose PREVIOUS round's popped batch was
+        #: majority-missing (2*missing >= popped, missing > 0) gets its
+        #: base budget halved (floor, min 1) THIS round, before carry and
+        #: crawl-delay caps.  Deterministic integer rule, twinned in
+        #: pyref.PyRefCrawl(adaptive_budget=True); per-round (host,
+        #: popped, missing) stats persist as the ``hosterr`` table so a
+        #: resumed engine continues identically.
+        self.adaptive_budget = adaptive_budget
         #: Opt-in crawl prioritization: (host, rank) dimension with rank
         #: in [0, pol.PRIO_RANK_MAX] integer millionths — e.g.
         #: queries_pipeline.host_pagerank scaled by 1e6.  None (default)
@@ -318,23 +328,40 @@ class CrawlEngine:
     def _empty_carry(self) -> DataFrame:
         return self.spark.createDataFrame([], "host string, carry long")
 
-    def _effective_budget(self, carry: DataFrame) -> DataFrame:
+    def _effective_budget(
+        self, carry: DataFrame, err: DataFrame | None = None
+    ) -> DataFrame:
         """(host, budget) with residual carry applied (SURVEY H1: a host
         that under-used its budget in round k gets the leftover — capped
         at one base budget — as credit in round k+1), then capped by the
-        robots crawl-delay rate max(1, floor(round_seconds / delay))."""
+        robots crawl-delay rate max(1, floor(round_seconds / delay)).
+
+        ``err`` (adaptive mode): last round's (host, popped, missing)
+        stats; a majority-missing host's base is halved (floor, min 1)
+        BEFORE carry — the carry cap in :meth:`_new_carry` stays the
+        ORIGINAL base, mirroring pyref exactly."""
         base = self.hostbudget.select(
             "host", F.col("budget").alias("_base")
         )
-        uncapped = (
-            F.coalesce(F.col("_base"), F.lit(pol.DEFAULT_BUDGET))
-            + F.coalesce(F.col("carry"), F.lit(0))
-        )
+        base0 = F.coalesce(F.col("_base"), F.lit(pol.DEFAULT_BUDGET))
+        if err is not None:
+            base0 = F.when(
+                (F.col("missing") > 0)
+                & (2 * F.col("missing") >= F.col("popped")),
+                F.greatest(
+                    F.lit(1),
+                    F.expr(f"coalesce(_base, {pol.DEFAULT_BUDGET}) div 2"),
+                ),
+            ).otherwise(base0)
+        uncapped = base0 + F.coalesce(F.col("carry"), F.lit(0))
         delay_cap = pol.crawl_delay_cap_expr(
             F.col("crawl_delay"), self.round_seconds
         )
+        joined = base.join(carry, "host", "full")
+        if err is not None:
+            joined = joined.join(err, "host", "full")
         return (
-            base.join(carry, "host", "full")
+            joined
             .join(self.robots.select("host", "crawl_delay"), "host", "full")
             .select(
                 "host",
@@ -431,6 +458,19 @@ class CrawlEngine:
                 pool.submit(self.io.write_table, self._empty_carry(), "hostcarry", 0),
                 pool.submit(self._write_counters, counters, 0),
             ]
+            if self.adaptive_budget:
+                # round 0 pops nothing — seed the feedback loop empty so
+                # round 1's hosterr read always resolves (incl. on resume)
+                writes.append(
+                    pool.submit(
+                        self.io.write_table,
+                        self.spark.createDataFrame(
+                            [], "host string, popped long, missing long"
+                        ),
+                        "hosterr",
+                        0,
+                    )
+                )
             for w in writes:
                 w.result()  # propagate failures BEFORE the commit point
             # AFTER the flagged-scanning writes: the abucket append's
@@ -439,7 +479,8 @@ class CrawlEngine:
             persist_state()
         self.io.commit_round(
             0,
-            ["frontier", *self._state_tables(), "admitted", "hostcarry", "crawl_log"],
+            ["frontier", *self._state_tables(), "admitted", "hostcarry",
+             "crawl_log", "hosterr"],
         )
         for df in (flagged, *parents):
             df.unpersist()
@@ -485,7 +526,12 @@ class CrawlEngine:
         # single-partition window (tests/test_politeness.py asserts the
         # plan has no SinglePartition exchange).
         carry = self.io.read_table(self.spark, "hostcarry", round_no - 1)
-        eff_budget = self._effective_budget(carry)
+        err = (
+            self.io.read_table(self.spark, "hosterr", round_no - 1)
+            if self.adaptive_budget
+            else None
+        )
+        eff_budget = self._effective_budget(carry, err)
         batch = global_sequence(
             pol.pop_batch(pending, eff_budget, self.salt),
             ["priority", "url"],
@@ -670,6 +716,20 @@ class CrawlEngine:
             .alias("deferred_politeness"),
         )
         writes.append(pool.submit(self.io.write_table, host_log, "host_log", round_no))
+        if self.adaptive_budget:
+            # next round's feedback input: (host, popped, missing) for
+            # hosts this round actually popped (derived from the shared
+            # persisted done_h — no extra scan)
+            hosterr = done_h.select(
+                "host",
+                F.col("n_batch").cast("long").alias("popped"),
+                (F.col("n_batch") - F.col("n_fetched"))
+                .cast("long")
+                .alias("missing"),
+            )
+            writes.append(
+                pool.submit(self.io.write_table, hosterr, "hosterr", round_no)
+            )
         writes.append(
             pool.submit(
                 self.io.write_table,
@@ -731,6 +791,7 @@ class CrawlEngine:
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
              "crawl_log", "extracted", "metadata", "dead_letters", "host_log",
              "links",  # opt-in link-graph log (declared only when written)
+             "hosterr",  # opt-in adaptive-budget feedback (ditto)
              "batch"],  # batch = global_sequence's range files (committed,
                         # so rollback cleans them — no orphan scratch dirs)
         )

@@ -57,6 +57,7 @@ class PyRefCrawl:
         round_cap: int | None = None,
         round_seconds: int = 60,
         host_rank: dict[str, int] | None = None,
+        adaptive_budget: bool = False,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
@@ -75,6 +76,10 @@ class PyRefCrawl:
         self.budgets = {r.host: int(r.budget) for r in hostbudget.itertuples()}
         self.carryover = carryover
         self.carry: dict[str, int] = {}  # residual budget credit (H1)
+        # opt-in error-rate budget feedback (CrawlEngine adaptive_budget
+        # twin): last round's per-host (popped, missing)
+        self.adaptive_budget = adaptive_budget
+        self.prev_err: dict[str, tuple[int, int]] = {}
         self.round_cap = round_cap  # E3 global per-round batch ceiling
         # opt-in host-rank prioritization twin (politeness.PRIO_* formula)
         self.host_rank = host_rank
@@ -166,7 +171,12 @@ class PyRefCrawl:
         # CrawlEngine._effective_budget exactly)
         eff = {}
         for h in per_host:
-            e = self.budgets.get(h, DEFAULT_BUDGET) + (
+            base = self.budgets.get(h, DEFAULT_BUDGET)
+            if self.adaptive_budget:
+                p, m = self.prev_err.get(h, (0, 0))
+                if m > 0 and 2 * m >= p:  # majority-missing last round
+                    base = max(1, base // 2)
+            e = base + (
                 self.carry.get(h, 0) if self.carryover else 0
             )
             d = self.delays.get(h)
@@ -264,6 +274,12 @@ class PyRefCrawl:
                 )
             counters["assets_extracted"] += emitted
 
+        if self.adaptive_budget:
+            self.prev_err = {
+                h: (d["fetched"] + d["missing"], d["missing"])
+                for h, d in per_host.items()
+                if d["fetched"] + d["missing"] > 0
+            }
         if self.carryover:
             new_carry = {}
             for host, h in per_host.items():

@@ -363,3 +363,81 @@ def test_host_rank_priority_golden(spark, fixtures, tmp_path_factory, pyref_run)
     eng.run(max_rounds=50)
     assert eng.crawl_order() == ref.crawl_order
     assert eng.seen_urls() == ref.seen_urls()
+
+
+def test_adaptive_budget_golden(spark, tmp_path_factory):
+    """Opt-in error-rate budget feedback: a host whose popped batch was
+    majority-missing gets its base budget halved next round (floor,
+    min 1).  Engine == pyref exactly under the rule, including across a
+    kill/resume (the hosterr feedback table must persist); the feedback
+    BINDS (schedule differs from the non-adaptive run) while final
+    coverage is unchanged."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from geocrawl_spark.assets import extract_text_py
+
+    host = "hosta.example.org"
+
+    def page(url, hrefs):
+        html = (
+            "<html><body>"
+            + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+            + "</body></html>"
+        ).encode()
+        return {
+            "url": url,
+            "warc_ts": dt.datetime(2020, 1, 1),
+            "html": html,
+            "text": extract_text_py(html),
+            "lang": "en",
+        }
+
+    seed_url = f"http://{host}/p/seed.html"
+    dangling = [f"http://{host}/p/a{k}.html" for k in range(6)]  # 404s
+    real = [f"http://{host}/p/z{k}.html" for k in range(6)]
+    pages = pd.DataFrame(
+        [page(seed_url, dangling + real)] + [page(u, []) for u in real]
+    )
+    seeds = pd.DataFrame([{"url": seed_url, "priority": 0}])
+    robots = pd.DataFrame([{"host": host, "disallow": [], "allow": []}])
+    budget = pd.DataFrame([{"host": host, "budget": 4}])
+
+    ref_on = PyRefCrawl(pages, seeds, robots, budget, adaptive_budget=True)
+    ref_on.run(max_rounds=50)
+    ref_off = PyRefCrawl(pages, seeds, robots, budget)
+    ref_off.run(max_rounds=50)
+    assert ref_on.crawl_order != ref_off.crawl_order  # the halving binds
+    assert sorted(u for _, _, u in ref_on.crawl_order) == sorted(
+        u for _, _, u in ref_off.crawl_order
+    )  # same coverage, different schedule
+
+    def mk(tmpdir):
+        return CrawlEngine(
+            spark,
+            pages=spark.createDataFrame(
+                pages,
+                "url string, warc_ts timestamp, html binary, text string, lang string",
+            ),
+            seeds=spark.createDataFrame(seeds),
+            robots=spark.createDataFrame(
+                robots, "host string, disallow array<string>, allow array<string>"
+            ),
+            hostbudget=spark.createDataFrame(budget),
+            base_dir=str(tmpdir),
+            n_shards=4, salt=4, m_bits=1 << 18, k=7, n_buckets=4,
+            adaptive_budget=True,
+        )
+
+    eng = mk(tmp_path_factory.mktemp("adaptive"))
+    # kill after round 2 (the round whose majority-missing stats trigger
+    # the round-3 halving) — resume must read hosterr@2 from disk
+    eng.init_state()
+    eng.run_round(1)
+    eng.run_round(2)
+    eng.io.rollback_to(2)
+    eng2 = mk(str(eng.io.base))
+    eng2.run(max_rounds=50)
+    assert eng2.crawl_order() == ref_on.crawl_order
+    assert eng2.seen_urls() == ref_on.seen_urls()
