@@ -1458,3 +1458,61 @@ def dedup_incremental(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact stratified quantiles (corpus length profile)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "length_quantiles",
+    """
+    with t as (
+      select lang, n_chars,
+             row_number() over (partition by lang
+                                order by n_chars, doc_id) as rn,
+             count(*) over (partition by lang) as n
+      from documents
+    )
+    select lang, max(n)::bigint as n_docs,
+           max(case when rn = 1 + ((n-1)*50)//100 then n_chars end)::bigint as p50,
+           max(case when rn = 1 + ((n-1)*90)//100 then n_chars end)::bigint as p90,
+           max(case when rn = 1 + ((n-1)*99)//100 then n_chars end)::bigint as p99
+    from t
+    group by lang
+    order by lang
+    """,
+)
+def length_quantiles(spark, sf_dir):
+    """Exact per-language doc-length quantiles by nearest-rank selection:
+    the p-th percentile is the value at 1-indexed rank
+    1 + floor((n-1)*p/100) of the stratum's sorted lengths — pure
+    integer rank arithmetic, so Spark and DuckDB pick the identical
+    element (approx_percentile/quantile_cont would not hash-match).
+
+    Scale shape: one window sort PER STRATUM (lang partitions the sort —
+    the same stratified-window argument as token_shard_assign; a global
+    unstratified sort would serialize).  At 10^10 docs the production
+    variant is approx_percentile over the same strata — this operator is
+    the exact reference it is validated against."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def pick(p):
+        return F.max(
+            F.when(
+                F.col("rn") == 1 + F.expr(f"((n-1)*{p}) div 100"),
+                F.col("n_chars"),
+            )
+        ).cast("long").alias(f"p{p}")
+    return (
+        t.groupBy("lang")
+        .agg(F.max("n").cast("long").alias("n_docs"), pick(50), pick(90), pick(99))
+        .orderBy("lang")
+    )

@@ -487,3 +487,17 @@ def test_dedup_incremental_lsh_candidate_below_threshold_kept(spark, tmp_path):
     if r0["n_candidates"] > 0:  # band collision depends on min-hash luck
         assert r0["best_jacc_millionths"] < 500_000
     assert r0["keep"] == 1
+
+
+def test_length_quantiles_nearest_rank(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import length_quantiles
+
+    # en: lengths 10,20,30,40,50 (n=5): p50 -> rank 3 (30), p90 -> rank
+    # 1+floor(4*0.9)=4 (40), p99 -> rank 4 (40); de: single doc -> all
+    # quantiles equal its length
+    rows = [("x" * k, "en") for k in (10, 20, 30, 40, 50)] + [("y" * 7, "de")]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["lang"]: r for r in length_quantiles(spark, sf).collect()}
+    assert got["en"]["n_docs"] == 5
+    assert (got["en"]["p50"], got["en"]["p90"], got["en"]["p99"]) == (30, 40, 40)
+    assert (got["de"]["p50"], got["de"]["p90"], got["de"]["p99"]) == (7, 7, 7)
