@@ -699,7 +699,13 @@ def _hp_r_of(n: int) -> int:
 def _hp_sql_ctes() -> str:
     """CTE chain ``v, n, mm, rr, u, bs, w, s, bv`` — the DuckDB twin of
     :func:`_hp_band_vals`: corpus-derived r, md5-derived ±1 weights,
-    6dp-rounded projection sums, sign bits packed into per-band values.
+    EXACT BIGINT projection sums over micro-unit-quantized elements
+    (``floor(val * 1e6)`` — order-independent integer arithmetic, so the
+    sign test cannot diverge between engines the way a parallel float
+    summation can), sign bits packed into per-band values.  Every output
+    column is explicitly ``::BIGINT``: DuckDB's sum(BIGINT) is HUGEINT,
+    which pandas materializes as float64 and the driver's value hash then
+    sees ``12.0`` vs Spark's ``12`` (the round-4 hash-gate failure).
     ``bv`` yields (vec_id, band, band_val)."""
     r = "(select r from rr)"
     return f"""v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
@@ -707,16 +713,17 @@ def _hp_sql_ctes() -> str:
     mm as (select greatest(1, (count(*) + {_HP_TARGET_BUCKET - 1}) // {_HP_TARGET_BUCKET}) as m from n),
     rr as (select greatest({_HP_R_MIN}, (select min(t.r) from range(1, 41) t(r)
            where (1::BIGINT << t.r) >= (select m from mm))) as r),
-    u as (select vec_id, unnest(e) as val, generate_subscripts(e, 1) as dim from n),
+    u as (select vec_id, floor(unnest(e) * 1000000)::BIGINT as valq,
+                 generate_subscripts(e, 1) as dim from n),
     bs as (select unnest(range(0, {_HP_BANDS} * {r})) as b),
     w as (select b, d.dim,
             case when strpos('02468ace', substr(md5('hp' || b::VARCHAR || '_' ||
-                 (d.dim - 1)::VARCHAR), 1, 1)) > 0 then 1.0 else -1.0 end as wt
+                 (d.dim - 1)::VARCHAR), 1, 1)) > 0 then 1::BIGINT else -1::BIGINT end as wt
           from bs cross join (select distinct dim from u) d),
-    s as (select u.vec_id, w.b, round(sum(u.val * w.wt), 6) as sv
+    s as (select u.vec_id, w.b, sum(u.valq * w.wt)::BIGINT as sv
           from u join w on u.dim = w.dim group by u.vec_id, w.b),
     bv as (select vec_id, b // {r} as band,
-            sum(case when sv >= 0 then 1::BIGINT << (b % {r}) else 0::BIGINT end) as band_val
+            sum(case when sv >= 0 then 1::BIGINT << (b % {r}) else 0::BIGINT end)::BIGINT as band_val
            from s group by vec_id, band)"""
 
 
@@ -747,12 +754,15 @@ def _hp_band_vals(spark: SparkSession, n: DataFrame, r: int) -> DataFrame:
     weight arrays BROADCAST into a cross join — one corpus pass computing
     n x BANDS*r JVM-side array dot products (zip_with/aggregate, no
     Python), then a (vec_id, band) groupBy packs bits.  Linear in n; no
-    explode of the corpus by dimension.  Projection sums are rounded to
-    6dp before the sign test so Spark's and DuckDB's float summation
-    orders agree (same accepted hazard class as the Lloyd rounding,
-    :func:`_ivf_assign_ranked`)."""
+    explode of the corpus by dimension.  Each element is quantized to
+    integer micro-units (``floor(x * 1e6)`` — IEEE multiply + floor are
+    bit-identical across engines) and the ±1 projection is an EXACT
+    BIGINT sum, so the sign test is order-independent: no float-summation
+    half-boundary hazard remains in this family (closes the round-3/4
+    ADVICE item; cosine rerank floats stay out of the signature)."""
     n_bits = _HP_BANDS * r
     dim = n.select(F.size("e").alias("d")).head()[0]  # bounded 1-row read
+    one = F.lit(1).cast("long")
     planes = spark.range(n_bits).select(
         F.col("id").alias("b"),
         F.transform(
@@ -770,12 +780,23 @@ def _hp_band_vals(spark: SparkSession, n: DataFrame, r: int) -> DataFrame:
                     1,
                     1,
                 ).isin(*"02468ace"),
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+                one,
+            ).otherwise(-one),
         ).alias("w"),
     )
-    sv = n.crossJoin(F.broadcast(planes)).select(
-        "vec_id", "b", F.round(_dot(F.col("e"), F.col("w")), 6).alias("sv")
+    nq = n.select(
+        "vec_id",
+        F.transform(F.col("e"), lambda x: F.floor(x * F.lit(1000000.0))).alias(
+            "eq"
+        ),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("eq"), F.col("w"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sv = nq.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "b", idot.alias("sv")
     )
     packed = F.expr(
         f"sum(case when sv >= 0 then shiftleft(cast(1 as bigint), "

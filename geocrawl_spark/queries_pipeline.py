@@ -1336,8 +1336,8 @@ def _incremental_sql() -> str:
     ncand as (select doc_b, count(*)::bigint as nc from j group by doc_b)
     select d.doc_id,
            coalesce(ncand.nc, 0)::bigint as n_candidates,
-           r.doc_c as best_match,
-           r.jm::bigint as best_jacc_millionths,
+           coalesce(r.doc_c, -1)::bigint as best_match,
+           coalesce(r.jm, -1)::bigint as best_jacc_millionths,
            (case when r.jm is null or r.jm < {_INC_JACC_MIN}
                  then 1 else 0 end)::bigint as keep
     from documents d
@@ -1361,9 +1361,10 @@ def dedup_incremental(spark, sf_dir):
     candidacy alone over-merges, measured in scripts/cluster_eval.py).
 
     Output, one row per batch doc: LSH candidate count, best corpus
-    match by true Jaccard (ties to the smaller corpus doc_id), the
-    Jaccard in integer millionths (floor division — no float crosses
-    the engine boundary), and the keep decision at 0.5.
+    match by true Jaccard (ties to the smaller corpus doc_id; -1 when
+    no candidate), the Jaccard in integer millionths (floor division,
+    -1 when no candidate — no float and no NULL crosses the engine
+    boundary), and the keep decision at 0.5.
 
     Scale shape: intersections are computed by fanning each candidate
     PAIR out over the batch doc's shingles and hash-joining against the
@@ -1445,8 +1446,13 @@ def dedup_incremental(spark, sf_dir):
         .select(
             "doc_id",
             F.coalesce("nc", F.lit(0)).cast("long").alias("n_candidates"),
-            "best_match",
-            F.col("best_jacc_millionths").cast("long"),
+            # -1 sentinels instead of NULLs: a nullable BIGINT column
+            # materializes as float64 in pandas (458.0 vs 458), the same
+            # representational hash hazard as DuckDB's HUGEINT.
+            F.coalesce("best_match", F.lit(-1)).cast("long").alias("best_match"),
+            F.coalesce("best_jacc_millionths", F.lit(-1))
+            .cast("long")
+            .alias("best_jacc_millionths"),
             F.when(
                 F.col("best_jacc_millionths").isNull()
                 | (F.col("best_jacc_millionths") < _INC_JACC_MIN),
