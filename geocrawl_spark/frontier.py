@@ -165,6 +165,7 @@ class CrawlEngine:
         #: join; see the module scale notes above), so the default leaves
         #: the scan to the storage layout.
         self.pages = pages.persist() if cache_pages else pages
+        self.cache_pages = cache_pages
         self.seeds = seeds
         # robots(host, disallow[, allow[, crawl_delay]]): REP longest-match
         # rules with wildcards and Allow-overrides-Disallow (politeness.py).
@@ -567,225 +568,239 @@ class CrawlEngine:
         # moderate batch sizes, so overlapping the ~10 independent actions
         # is the single biggest round-latency lever.  `writes` must all
         # complete (propagating failures) BEFORE the manifest commit.
+        # Pooled section runs under try/finally: if any pooled write
+        # raises, the pool is drained (cancel_futures) and every persisted
+        # DataFrame is unpersisted instead of leaking for the round;
+        # commit_round stays unreachable on failure (manifest untouched).
         pool = ThreadPoolExecutor(max_workers=8)
         writes: list = []
-
-        if n_fetched == 0:
-            # Fast path (common at the crawl tail and after dead rounds):
-            # nothing fetched means provably zero link candidates, so the
-            # extract/admission/asset stages are identities.  Skipping them
-            # avoids ~10 driver-blocking empty jobs (mostly Catalyst
-            # analysis of the big parse expression trees) per round.  The
-            # per-round tables they would have written empty are simply
-            # absent — read_all_rounds unions only existing paths, and the
-            # pyref oracle produces the same zero counters.  Snapshot modes
-            # still carry the (unchanged) seen state forward, since the
-            # next round reads seen_shards@round_no; the abucket store
-            # needs no write at all (absent partition == no new hashes).
-            flagged = self.spark.createDataFrame(
-                [], "url string, host string, depth long, kind string, denied boolean"
-            ).persist()
-            kinded = None
-            parents, parsed, persist_state = [], None, None
-            f_nassets = f_ndead = None
-            if self.mode != "abucket":
-                # carry the unchanged seen state forward — a plain parquet
-                # path write (no catalog invalidation), safe in the pool
-                writes.append(
-                    pool.submit(self.io.write_table, state, "seen_shards", round_no)
+        flagged = kinded = parsed = persist_state = None
+        pend_h = done_h = None
+        parents: list = []
+        f_nassets = f_ndead = None
+        try:
+            if n_fetched == 0:
+                # Fast path (common at the crawl tail and after dead rounds):
+                # nothing fetched means provably zero link candidates, so the
+                # extract/admission/asset stages are identities.  Skipping them
+                # avoids ~10 driver-blocking empty jobs (mostly Catalyst
+                # analysis of the big parse expression trees) per round.  The
+                # per-round tables they would have written empty are simply
+                # absent — read_all_rounds unions only existing paths, and the
+                # pyref oracle produces the same zero counters.  Snapshot modes
+                # still carry the (unchanged) seen state forward, since the
+                # next round reads seen_shards@round_no; the abucket store
+                # needs no write at all (absent partition == no new hashes).
+                flagged = self.spark.createDataFrame(
+                    [], "url string, host string, depth long, kind string, denied boolean"
+                ).persist()
+                kinded = None
+                parents, parsed, persist_state = [], None, None
+                f_nassets = f_ndead = None
+                if self.mode != "abucket":
+                    # carry the unchanged seen state forward — a plain parquet
+                    # path write (no catalog invalidation), safe in the pool
+                    writes.append(
+                        pool.submit(self.io.write_table, state, "seen_shards", round_no)
+                    )
+                self._mark(marks, "fastpath_empty_fetch")
+            else:
+                # --- extract text (byte-identity invariant) + provenance -----
+                extracted = got.select(
+                    "url",
+                    F.lit(round_no).alias("round"),
+                    A.extract_text_udf("html").alias("text_extracted"),
+                    F.length("html").alias("content_length"),
+                    "warc_ts",
                 )
-            self._mark(marks, "fastpath_empty_fetch")
-        else:
-            # --- extract text (byte-identity invariant) + provenance -----
-            extracted = got.select(
-                "url",
-                F.lit(round_no).alias("round"),
-                A.extract_text_udf("html").alias("text_extracted"),
-                F.length("html").alias("content_length"),
-                "warc_ts",
-            )
-            writes.append(
-                pool.submit(self.io.write_table, extracted, "extracted", round_no)
-            )
-            self._mark(marks, "extract_submit")
+                writes.append(
+                    pool.submit(self.io.write_table, extracted, "extracted", round_no)
+                )
+                self._mark(marks, "extract_submit")
 
-            # --- link fan-out: page + asset candidates in one pass -------
-            links = (
-                got.select("url", "depth", F.explode(A.extract_links_udf("html")).alias("href"))
-                .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
-                .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
-            )
-            kinded = links.withColumn(
-                "kind",
-                F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
-                    A.is_asset_expr(F.col("canon")), F.lit("asset")
-                ),
-            ).filter(F.col("kind").isNotNull())
-            if self.log_links:
-                # the links write and the admission pass both consume the
-                # exploded/extracted edge set — persist it so the pandas
-                # link-extraction UDF runs once per page, not twice
-                kinded = kinded.persist()
+                # --- link fan-out: page + asset candidates in one pass -------
+                links = (
+                    got.select("url", "depth", F.explode(A.extract_links_udf("html")).alias("href"))
+                    .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
+                    .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
+                )
+                kinded = links.withColumn(
+                    "kind",
+                    F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
+                        A.is_asset_expr(F.col("canon")), F.lit("asset")
+                    ),
+                ).filter(F.col("kind").isNotNull())
+                if self.log_links:
+                    # the links write and the admission pass both consume the
+                    # exploded/extracted edge set — persist it so the pandas
+                    # link-extraction UDF runs once per page, not twice
+                    kinded = kinded.persist()
+                    writes.append(
+                        pool.submit(
+                            self.io.write_table,
+                            kinded.select(
+                                F.col("url").alias("src_url"),
+                                F.col("canon").alias("dst_url"),
+                                "kind",
+                            ),
+                            "links",
+                            round_no,
+                        )
+                    )
+                cand = kinded.select(
+                    F.col("canon").alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    "kind",
+                )
+
+                # --- single admission pass (seen filter + robots) ------------
+                flagged, persist_state, parents, stats_fn = self._admit(
+                    cand, state, round_no
+                )
+                f_stats = pool.submit(stats_fn)
+                f_denied = pool.submit(
+                    lambda: {
+                        r["kind"]: r["n"]
+                        for r in flagged.filter(F.col("denied"))
+                        .groupBy("kind")
+                        .agg(F.count("*").alias("n"))
+                        .collect()
+                    }
+                )
+                stats = f_stats.result()
+                denied_counts = f_denied.result()
+                self._mark(marks, "admit_stats")
+                p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
+                a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
+                counters["deduped"] = p["deduped"] + a["deduped"]
+                counters["robots_denied"] = sum(denied_counts.values())
+                counters["discovered"] = p["fresh"] - denied_counts.get("page", 0)
+
+                # --- asset extraction + parse stage --------------------------
+                if a["fresh"] - denied_counts.get("asset", 0) > 0:
+                    allowed_assets = flagged.filter(
+                        (F.col("kind") == "asset") & ~F.col("denied")
+                    ).select(F.col("url").alias("asset_url"))
+                    meta, dead, parsed = self._extract_assets(allowed_assets, round_no)
+                    writes.append(
+                        pool.submit(self.io.write_table, meta, "metadata", round_no)
+                    )
+                    writes.append(
+                        pool.submit(self.io.write_table, dead, "dead_letters", round_no)
+                    )
+                    # resolved just before the counters write — the two count
+                    # jobs overlap the host-lineage and frontier submissions
+                    f_nassets = pool.submit(meta.select("asset_url").distinct().count)
+                    f_ndead = pool.submit(dead.count)
+                else:
+                    parsed = None  # no admitted assets -> parse stage is empty
+                    f_nassets = f_ndead = None
+                self._mark(marks, "assets_submitted")
+
                 writes.append(
                     pool.submit(
                         self.io.write_table,
-                        kinded.select(
-                            F.col("url").alias("src_url"),
-                            F.col("canon").alias("dst_url"),
-                            "kind",
-                        ),
-                        "links",
-                        round_no,
+                        flagged.select("url", "kind"), "admitted", round_no,
                     )
                 )
-            cand = kinded.select(
-                F.col("canon").alias("url"),
-                (F.col("depth") + 1).alias("depth"),
-                "kind",
-            )
+                self._mark(marks, "tail_submitted")
 
-            # --- single admission pass (seen filter + robots) ------------
-            flagged, persist_state, parents, stats_fn = self._admit(
-                cand, state, round_no
+            # --- per-host lineage (north_rule: per-partition lineage+metrics;
+            # the salted host partition is the politeness/parallelism unit) ---
+            # tiny (one row per host) but derived from full scans — persist so
+            # host_log and the carry update share one computation each
+            pend_h = pending.groupBy("host").agg(F.count("*").alias("n_pending")).persist()
+            done_h = fetched.groupBy("host").agg(
+                F.count("*").alias("n_batch"), F.count("html").alias("n_fetched")
+            ).persist()
+            host_log = pend_h.join(done_h, "host", "left").select(
+                F.lit(round_no).cast("long").alias("round"),
+                "host",
+                F.coalesce("n_fetched", F.lit(0)).cast("long").alias("fetched"),
+                (F.coalesce("n_batch", F.lit(0)) - F.coalesce("n_fetched", F.lit(0)))
+                .cast("long")
+                .alias("missing"),
+                (F.col("n_pending") - F.coalesce("n_batch", F.lit(0)))
+                .cast("long")
+                .alias("deferred_politeness"),
             )
-            f_stats = pool.submit(stats_fn)
-            f_denied = pool.submit(
-                lambda: {
-                    r["kind"]: r["n"]
-                    for r in flagged.filter(F.col("denied"))
-                    .groupBy("kind")
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                }
-            )
-            stats = f_stats.result()
-            denied_counts = f_denied.result()
-            self._mark(marks, "admit_stats")
-            p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
-            a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
-            counters["deduped"] = p["deduped"] + a["deduped"]
-            counters["robots_denied"] = sum(denied_counts.values())
-            counters["discovered"] = p["fresh"] - denied_counts.get("page", 0)
-
-            # --- asset extraction + parse stage --------------------------
-            if a["fresh"] - denied_counts.get("asset", 0) > 0:
-                allowed_assets = flagged.filter(
-                    (F.col("kind") == "asset") & ~F.col("denied")
-                ).select(F.col("url").alias("asset_url"))
-                meta, dead, parsed = self._extract_assets(allowed_assets, round_no)
-                writes.append(
-                    pool.submit(self.io.write_table, meta, "metadata", round_no)
+            writes.append(pool.submit(self.io.write_table, host_log, "host_log", round_no))
+            if self.adaptive_budget:
+                # next round's feedback input: (host, popped, missing) for
+                # hosts this round actually popped (derived from the shared
+                # persisted done_h — no extra scan)
+                hosterr = done_h.select(
+                    "host",
+                    F.col("n_batch").cast("long").alias("popped"),
+                    (F.col("n_batch") - F.col("n_fetched"))
+                    .cast("long")
+                    .alias("missing"),
                 )
                 writes.append(
-                    pool.submit(self.io.write_table, dead, "dead_letters", round_no)
+                    pool.submit(self.io.write_table, hosterr, "hosterr", round_no)
                 )
-                # resolved just before the counters write — the two count
-                # jobs overlap the host-lineage and frontier submissions
-                f_nassets = pool.submit(meta.select("asset_url").distinct().count)
-                f_ndead = pool.submit(dead.count)
-            else:
-                parsed = None  # no admitted assets -> parse stage is empty
-                f_nassets = f_ndead = None
-            self._mark(marks, "assets_submitted")
-
             writes.append(
                 pool.submit(
                     self.io.write_table,
-                    flagged.select("url", "kind"), "admitted", round_no,
+                    self._new_carry(pend_h, done_h, eff_budget), "hostcarry", round_no,
                 )
             )
-            self._mark(marks, "tail_submitted")
+            self._mark(marks, "host_lineage_submitted")
 
-        # --- per-host lineage (north_rule: per-partition lineage+metrics;
-        # the salted host partition is the politeness/parallelism unit) ---
-        # tiny (one row per host) but derived from full scans — persist so
-        # host_log and the carry update share one computation each
-        pend_h = pending.groupBy("host").agg(F.count("*").alias("n_pending")).persist()
-        done_h = fetched.groupBy("host").agg(
-            F.count("*").alias("n_batch"), F.count("html").alias("n_fetched")
-        ).persist()
-        host_log = pend_h.join(done_h, "host", "left").select(
-            F.lit(round_no).cast("long").alias("round"),
-            "host",
-            F.coalesce("n_fetched", F.lit(0)).cast("long").alias("fetched"),
-            (F.coalesce("n_batch", F.lit(0)) - F.coalesce("n_fetched", F.lit(0)))
-            .cast("long")
-            .alias("missing"),
-            (F.col("n_pending") - F.coalesce("n_batch", F.lit(0)))
-            .cast("long")
-            .alias("deferred_politeness"),
-        )
-        writes.append(pool.submit(self.io.write_table, host_log, "host_log", round_no))
-        if self.adaptive_budget:
-            # next round's feedback input: (host, popped, missing) for
-            # hosts this round actually popped (derived from the shared
-            # persisted done_h — no extra scan)
-            hosterr = done_h.select(
-                "host",
-                F.col("n_batch").cast("long").alias("popped"),
-                (F.col("n_batch") - F.col("n_fetched"))
-                .cast("long")
-                .alias("missing"),
+            # --- frontier update: MERGE-style partial rewrite ----------------
+            # The frontier is partitioned by discovered_round (BFS layer).  A
+            # round touches only the layers its batch popped from (priority =
+            # depth, so typically the current layer) plus the brand-new layer
+            # of this round's admissions — every other layer's files are
+            # carried forward by manifest reference, never rewritten.  This is
+            # the Iceberg row-level MERGE shape: per-round write cost is
+            # O(batch + admissions), not O(frontier).
+            batch_done = fetched.select(
+                "url", "host", "depth", "priority", "discovered_round",
+                F.when(F.col("html").isNotNull(), F.lit("fetched"))
+                .otherwise(F.lit("missing"))
+                .alias("status"),
+                F.lit(round_no).cast("long").alias("fetch_round"),
+                "fetch_seq",
+            )
+            # `touched` came from the combined fetch agg above — no extra job
+            rewritten = (
+                frontier.filter(F.col("discovered_round").isin(touched))
+                .join(batch_done.select("url"), "url", "left_anti")
+                .unionByName(batch_done)
+                .unionByName(self._frontier_rows(flagged, round_no))
             )
             writes.append(
-                pool.submit(self.io.write_table, hosterr, "hosterr", round_no)
+                pool.submit(
+                    self.io.write_table_delta,
+                    rewritten, "frontier", round_no,
+                    "discovered_round", touched + [round_no], round_no - 1,
+                )
             )
-        writes.append(
-            pool.submit(
-                self.io.write_table,
-                self._new_carry(pend_h, done_h, eff_budget), "hostcarry", round_no,
-            )
-        )
-        self._mark(marks, "host_lineage_submitted")
-
-        # --- frontier update: MERGE-style partial rewrite ----------------
-        # The frontier is partitioned by discovered_round (BFS layer).  A
-        # round touches only the layers its batch popped from (priority =
-        # depth, so typically the current layer) plus the brand-new layer
-        # of this round's admissions — every other layer's files are
-        # carried forward by manifest reference, never rewritten.  This is
-        # the Iceberg row-level MERGE shape: per-round write cost is
-        # O(batch + admissions), not O(frontier).
-        batch_done = fetched.select(
-            "url", "host", "depth", "priority", "discovered_round",
-            F.when(F.col("html").isNotNull(), F.lit("fetched"))
-            .otherwise(F.lit("missing"))
-            .alias("status"),
-            F.lit(round_no).cast("long").alias("fetch_round"),
-            "fetch_seq",
-        )
-        # `touched` came from the combined fetch agg above — no extra job
-        rewritten = (
-            frontier.filter(F.col("discovered_round").isin(touched))
-            .join(batch_done.select("url"), "url", "left_anti")
-            .unionByName(batch_done)
-            .unionByName(self._frontier_rows(flagged, round_no))
-        )
-        writes.append(
-            pool.submit(
-                self.io.write_table_delta,
-                rewritten, "frontier", round_no,
-                "discovered_round", touched + [round_no], round_no - 1,
-            )
-        )
-        if f_nassets is not None:
-            counters["assets_extracted"] = f_nassets.result()
-            counters["dead_letters"] = f_ndead.result()
-        writes.append(pool.submit(self._write_counters, counters, round_no))
-        for w in writes:
-            w.result()  # propagate any write failure BEFORE the commit
-        self._mark(marks, "writes_joined")
-        # Seen-state persist runs strictly AFTER every pooled write that
-        # scans `flagged`/`fresh` has completed: the abucket append is an
-        # insertInto on the seen-store CATALOG table, which invalidates
-        # cached plans referencing that table (the admission anti-join
-        # feeding flagged) — running it concurrently yanks cached blocks
-        # from under the in-flight writes (BlockNotFound).  Serial cost is
-        # the one O(fresh) partition append.
-        if persist_state is not None:
-            persist_state()
-        pool.shutdown(wait=True)
-        self._mark(marks, "seen_persist")
+            if f_nassets is not None:
+                counters["assets_extracted"] = f_nassets.result()
+                counters["dead_letters"] = f_ndead.result()
+            writes.append(pool.submit(self._write_counters, counters, round_no))
+            for w in writes:
+                w.result()  # propagate any write failure BEFORE the commit
+            self._mark(marks, "writes_joined")
+            # Seen-state persist runs strictly AFTER every pooled write that
+            # scans `flagged`/`fresh` has completed: the abucket append is an
+            # insertInto on the seen-store CATALOG table, which invalidates
+            # cached plans referencing that table (the admission anti-join
+            # feeding flagged) — running it concurrently yanks cached blocks
+            # from under the in-flight writes (BlockNotFound).  Serial cost is
+            # the one O(fresh) partition append.
+            if persist_state is not None:
+                persist_state()
+            self._mark(marks, "seen_persist")
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
+            for df in (fetched, flagged, parsed, pend_h, done_h, *parents):
+                if df is not None:
+                    df.unpersist()
+            if kinded is not None:
+                kinded.unpersist()
         self.io.commit_round(
             round_no,
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
@@ -796,11 +811,6 @@ class CrawlEngine:
                         # so rollback cleans them — no orphan scratch dirs)
         )
         self._mark(marks, "commit")
-        for df in (fetched, flagged, parsed, pend_h, done_h, *parents):
-            if df is not None:
-                df.unpersist()
-        if self.log_links and kinded is not None:
-            kinded.unpersist()
         if os.environ.get("GEOCRAWL_PROFILE"):
             spans = [
                 f"{label}={t1 - t0:.2f}s"
@@ -900,6 +910,30 @@ class CrawlEngine:
             .select("url")
         )
 
+    def set_pages(self, pages: DataFrame) -> None:
+        """RECRAWL SEAM: swap in a NEW pages snapshot so subsequent rounds
+        — in particular :meth:`refresh`-requeued fetches — observe changed
+        content.  Without this the engine's single immutable ``pages``
+        DataFrame makes a re-fetch provably a no-op (it re-reads identical
+        html), so ``refresh()`` could re-queue but never actually observe
+        freshness.  The reference analog: re-running geocrawler over a
+        changed tree re-extracts the changed files
+        (geolib/walkers.go:49-63 — the walk reads whatever is on disk NOW).
+
+        Per-round state (frontier, seen set, budgets, counters) is
+        untouched: only the fetch join's right side changes.  The
+        byte-identity invariant is preserved per (url, fetch_round) —
+        rounds already committed keep the bytes they saw; rounds after the
+        swap record the new snapshot's bytes.  At the 100 TB design point
+        this is "point the fetch join at the current WARC/Iceberg
+        snapshot" — an O(1) metadata operation, which is exactly what it
+        is here."""
+        if self.cache_pages:
+            self.pages.unpersist()
+            self.pages = pages.persist()
+        else:
+            self.pages = pages
+
     def refresh(self, urls: DataFrame) -> int:
         """RECRAWL: re-queue already-crawled URLs for fetching — the
         engine half of the freshness operators (select WHAT to refresh
@@ -977,8 +1011,19 @@ class CrawlEngine:
         self.io.write_table(
             self.io.read_table(self.spark, "hostcarry", r_prev), "hostcarry", round_no
         )
+        if self.adaptive_budget:
+            # adaptive engines read hosterr@round-1 unconditionally in
+            # run_round — carry the last crawl round's feedback forward
+            # (like hostcarry/seen_shards) or the first post-refresh round
+            # dies on a missing table and the committed refresh round
+            # poisons every subsequent run() until a manual rollback
+            self.io.write_table(
+                self.io.read_table(self.spark, "hosterr", r_prev),
+                "hosterr",
+                round_no,
+            )
         self.io.commit_round(
-            round_no, ["frontier", *self._state_tables(), "hostcarry"]
+            round_no, ["frontier", *self._state_tables(), "hostcarry", "hosterr"]
         )
         return int(n_sel)
 

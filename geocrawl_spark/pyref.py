@@ -318,6 +318,13 @@ class PyRefCrawl:
         )
 
     # ------------------------------------------------------------------
+    def set_pages(self, pages: pd.DataFrame) -> None:
+        """Twin of CrawlEngine.set_pages: swap the fetchable corpus for a
+        new snapshot so refreshed urls observe changed content.  Frontier,
+        seen set, and budget state are untouched."""
+        self.pages = {r.url: r for r in pages.itertuples()}
+
+    # ------------------------------------------------------------------
     def refresh(self, urls) -> int:
         """Twin of CrawlEngine.refresh: reset fetched/missing frontier
         rows of the given urls to pending (fetch bookkeeping cleared);

@@ -280,10 +280,18 @@ def delete_from_blob(blob: bytes, h1: np.ndarray) -> tuple[bytes, np.ndarray]:
     if mode == "exact":
         if len(data) == 0:
             return blob, np.zeros(len(h1), dtype=bool)
-        idx = np.searchsorted(data, h1)
-        idx[idx == len(data)] = 0
-        removed = data[idx] == h1
-        return EXACT_MAGIC + np.delete(data, idx[removed]).tobytes(), removed
+        # set semantics under duplicate keys in one batch: dedupe first —
+        # np.delete with a repeated index removes ONE array element while
+        # the naive mask would claim N removals, drifting any n_items
+        # counter driven by it.  Only the first occurrence of each present
+        # key is flagged, so removed.sum() == elements actually deleted.
+        uniq, first_idx = np.unique(h1, return_index=True)
+        pos = np.searchsorted(data, uniq)
+        pos[pos == len(data)] = 0
+        present = data[pos] == uniq
+        removed = np.zeros(len(h1), dtype=bool)
+        removed[first_idx[present]] = True
+        return EXACT_MAGIC + np.delete(data, pos[present]).tobytes(), removed
     raise ValueError("bloom blobs do not support deletion — use mode='cuckoo'")
 
 
@@ -637,6 +645,14 @@ def compact_seen_store(
         # pre-shuffle to the bucket layout so each bucket lands in ONE
         # sorted file — the fully-compacted state
         .repartition(n_buckets, "h1")
+        # crash-window self-heal: a kill mid-step-2 leaves a partial base
+        # partition whose rows duplicate intact sources (tolerated —
+        # membership is an anti-join), and the NEXT compaction reads both;
+        # dedup here or those duplicates would persist in every future
+        # base, growing storage forever.  The aggregate sits on top of the
+        # aligning Exchange (same h1 hash partitioning), so the
+        # one-file-per-bucket layout is preserved.
+        .dropDuplicates(["h1"])
         .select("h1", F.lit(new_base).cast("long").alias("round"))
     )
     conf = spark.conf

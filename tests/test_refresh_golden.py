@@ -146,6 +146,99 @@ def test_refresh_noop_commits_nothing(spark, fixtures, tmp_path_factory):
     assert eng.io.latest_round() == before  # no round committed
 
 
+@pytest.mark.parametrize("mode", ["exact", "abucket"])
+def test_refresh_observes_changed_content(spark, fixtures, tmp_path_factory, mode):
+    """The complete freshness loop (VERDICT r4 missing #1): crawl corpus
+    v1 to drain, swap in a v2 snapshot via set_pages() where a handful of
+    fetched pages' html changed, refresh() those urls, run — the
+    re-fetched rounds must record the NEW extracted text (engine == pyref
+    exactly) while every pre-swap round keeps the bytes it actually saw:
+    the byte-identity invariant holds per (url, fetch_round), not per
+    url."""
+    import hashlib
+
+    from geocrawl_spark.assets import extract_text_py
+    from geocrawl_spark.frontier import read_all_rounds
+
+    ref = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], fixtures["robots"], fixtures["budget"]
+    )
+    ref.run(max_rounds=50)
+    d = tmp_path_factory.mktemp(f"refresh_content_{mode}")
+    eng = _mk_engine(spark, fixtures, d, mode)
+    eng.run(max_rounds=50)
+    assert eng.crawl_order() == ref.crawl_order
+
+    fetched = sorted({u for _, _, u in ref.crawl_order})
+    sel = fetched[::4][:5]
+    v1_text = {u: ref.extracted[u] for u in sel}
+
+    # v2 snapshot: same urls, changed body content (no new links — the
+    # content change, not re-discovery, is under test here)
+    v2 = fixtures["pages"].copy(deep=True)
+    mask = v2["url"].isin(sel)
+    v2.loc[mask, "html"] = v2.loc[mask, "html"].map(
+        lambda b: b.decode("utf-8")
+        .replace("</body>", "<p>updated rev2 content</p>\n</body>")
+        .encode("utf-8")
+    )
+    v2.loc[mask, "text"] = v2.loc[mask, "html"].map(extract_text_py)
+    v2_text = {r.url: r.text for r in v2[mask].itertuples()}
+    assert all(v2_text[u] != v1_text[u] for u in sel)  # the change binds
+
+    ref.set_pages(v2)
+    eng.set_pages(
+        spark.createDataFrame(
+            v2, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+    )
+    n_ref = ref.refresh(sel)
+    n_eng = eng.refresh(spark.createDataFrame([(u,) for u in sel], "url string"))
+    assert n_eng == n_ref == len(sel)
+    r_commit = eng.io.latest_round()
+
+    eng_log = eng.run(max_rounds=30)
+    ref_log, r = [], r_commit + 1
+    while True:
+        res = ref.run_round(r)
+        if res is None:
+            break
+        ref_log.append({"round": r, **res})
+        r += 1
+    got = [{"round": e["round"], **{k: e[k] for k in COUNTER_KEYS}} for e in eng_log]
+    want = [{"round": e["round"], **{k: e[k] for k in COUNTER_KEYS}} for e in ref_log]
+    assert got == want
+    assert sum(e["fetched"] for e in eng_log) == len(sel)
+    assert sum(e["discovered"] for e in eng_log) == 0
+
+    rows = read_all_rounds(spark, eng.io, "extracted").select(
+        "url", "round", "text_extracted"
+    ).collect()
+    for row in rows:
+        if row["url"] in sel:
+            want_text = v2_text if row["round"] > r_commit else v1_text
+            assert row["text_extracted"] == want_text[row["url"]], (
+                row["url"], row["round"])
+    # each refreshed url has BOTH generations on record (provenance), and
+    # the latest generation matches the pyref oracle byte-for-byte
+    gens = {}
+    for row in rows:
+        if row["url"] in sel:
+            gens.setdefault(row["url"], set()).add(
+                hashlib.sha256(row["text_extracted"].encode()).hexdigest()
+            )
+    assert all(len(g) == 2 for g in gens.values())
+    latest = {}
+    for row in rows:
+        if row["url"] not in latest or row["round"] > latest[row["url"]][0]:
+            latest[row["url"]] = (row["round"], row["text_extracted"])
+    got_sha = {
+        u: hashlib.sha256(t.encode()).hexdigest() for u, (_, t) in latest.items()
+    }
+    assert got_sha == ref.extracted_sha()
+    assert eng.seen_urls() == ref.seen_urls()
+
+
 def test_refresh_resume_new_engine(spark, fixtures, tmp_path_factory):
     """H4 x recrawl: after a refresh commit, a BRAND-NEW engine instance
     (fresh driver state, manifest only) continues the recrawl to the

@@ -445,6 +445,30 @@ def test_bloom_no_false_negatives_and_fpr():
     assert fp / len(probe) < 0.01  # sized for ~2.6 bits... generous bound
 
 
+def test_exact_delete_duplicate_keys_in_batch():
+    """ADVICE r4: a delete batch holding the SAME key twice must flag
+    exactly the elements actually removed — set semantics.  Before the
+    fix, np.delete with a repeated index removed one array element while
+    the mask claimed N removals, so an n_items counter driven by
+    removed.sum() drifted."""
+    import numpy as np
+
+    from geocrawl_spark.seen import _insert, delete_from_blob, empty_blob
+
+    keys = np.array([10, 20, 30], dtype=np.uint64)
+    blob = _insert(empty_blob("exact", 0, 0), keys, keys)
+    batch = np.array([20, 20, 99, 10, 10, 10], dtype=np.uint64)
+    blob2, removed = delete_from_blob(blob, batch)
+    # one removal per PRESENT distinct key; absent key never flagged
+    assert removed.sum() == 2
+    assert removed.tolist() == [True, False, False, True, False, False]
+    data = np.frombuffer(blob2[4:], dtype=np.uint64)
+    assert data.tolist() == [30]
+    # idempotent: deleting the same batch again removes nothing
+    blob3, removed2 = delete_from_blob(blob2, batch)
+    assert removed2.sum() == 0 and blob3 == blob2
+
+
 def test_cuckoo_no_false_negatives_and_fpr():
     """Cuckoo codec at HIGH load (~76%): every inserted key answers seen
     (no false negatives even after displacement chains), and the FPR on
