@@ -286,7 +286,12 @@ def main():
     spark = get_spark(
         app_name="geocrawl-bench",
         extra_conf={
-            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="geocrawl-bench-wh-")
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="geocrawl-bench-wh-"),
+            # console progress bars interleave \r-terminated noise with
+            # stdout in captured runs — BENCH_r04's headline JSON line was
+            # truncated by exactly this.  The bench must emit ONE clean
+            # parseable line.
+            "spark.ui.showConsoleProgress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -333,8 +338,19 @@ def main():
         "sf": sf_dir,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    # durable copy first (the file survives whatever a log capture does to
+    # the stream), then stop Spark so nothing can write after the JSON,
+    # then the JSON as the true last line of stdout
+    os.makedirs(os.path.join(os.path.dirname(__file__) or ".", "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(__file__) or ".", "BENCH", "latest.json"), "w"
+    ) as f:
+        f.write(line + "\n")
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

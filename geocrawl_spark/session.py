@@ -57,6 +57,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    # experiment hook: SPARK_GRAFT_EXTRA_CONF='{"spark.io.compression.codec":
+    # "zstd"}' lets the scaling bench A/B shuffle/compression knobs across
+    # fresh JVMs without code edits (applied before caller extra_conf so
+    # explicit call-site settings win)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
