@@ -1522,3 +1522,46 @@ def length_quantiles(spark, sf_dir):
         .agg(F.max("n").cast("long").alias("n_docs"), pick(50), pick(90), pick(99))
         .orderBy("lang")
     )
+
+
+@_q("length_quantiles_approx")  # no DuckDB twin: sketch output is
+# algorithm-specific (Spark KLL-ish vs DuckDB t-digest) — the driver
+# records the weaker rows-only check; the REAL gate is the parity test
+# bounding it against the exact operator (tests/test_queries_pipeline.py)
+def length_quantiles_approx(spark, sf_dir):
+    """PRODUCTION variant of :func:`length_quantiles`: one-pass
+    ``approx_percentile`` sketches per stratum instead of a per-stratum
+    window sort.  At 10^10 docs this is the operator you actually run —
+    a single map-side-combined aggregation (each partition builds a
+    bounded sketch, merge is associative), no window, no per-stratum
+    sort, shuffle = O(strata × sketch), not O(rows).
+
+    Error contract: with accuracy a=10000 the returned value's RANK in
+    the stratum is within n/a of the target (Spark's documented bound),
+    PLUS one rank of definitional slack — percentile_approx targets the
+    smallest value with ceil(p*n) at-or-below it, while the exact
+    operator takes nearest-rank 1+floor((n-1)*p/100); the two
+    conventions differ by at most one rank even at exact accuracy.  The
+    parity test (tests/test_queries_pipeline.py) asserts rank error
+    ≤ 1 + n/a per stratum against the exact operator, which remains the
+    validation reference (its docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    acc = 10_000
+    pct = F.percentile_approx(
+        "n_chars", F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99)), F.lit(acc)
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            pct.alias("pcts"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.element_at("pcts", 1).cast("long").alias("p50"),
+            F.element_at("pcts", 2).cast("long").alias("p90"),
+            F.element_at("pcts", 3).cast("long").alias("p99"),
+        )
+        .orderBy("lang")
+    )

@@ -501,3 +501,51 @@ def test_length_quantiles_nearest_rank(spark, tmp_path):
     assert got["en"]["n_docs"] == 5
     assert (got["en"]["p50"], got["en"]["p90"], got["en"]["p99"]) == (30, 40, 40)
     assert (got["de"]["p50"], got["de"]["p90"], got["de"]["p99"]) == (7, 7, 7)
+
+
+def test_length_quantiles_approx_parity(spark):
+    """Production-vs-reference parity (VERDICT r4 item 6): the one-pass
+    approx_percentile operator's per-stratum RANK error vs the exact
+    nearest-rank operator is bounded by 1 + n/accuracy (the documented
+    sketch bound plus one rank of definitional slack between Spark's
+    ceil(p*n) convention and nearest-rank 1+floor((n-1)p/100)).  Run at
+    the real sf0.1 documents table so the bound is exercised on
+    production-shaped strata, not a toy."""
+    import duckdb
+
+    from geocrawl_spark.queries_pipeline import (
+        length_quantiles,
+        length_quantiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    exact = {r["lang"]: r for r in length_quantiles(spark, sf).collect()}
+    approx = {r["lang"]: r for r in length_quantiles_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+
+    # per-stratum sorted lengths (ground truth for rank positions)
+    con = duckdb.connect()
+    strata = {
+        lang: lens
+        for lang, lens in con.execute(
+            "select lang, list(n_chars order by n_chars) from "
+            f"read_parquet('{sf}/documents.parquet') group by lang"
+        ).fetchall()
+    }
+    ACC = 10_000
+    for lang, row in approx.items():
+        lens = strata[lang]
+        n = len(lens)
+        assert row["n_docs"] == exact[lang]["n_docs"] == n
+        for p in (50, 90, 99):
+            v = row[f"p{p}"]
+            target = 1 + ((n - 1) * p) // 100  # nearest-rank, 1-indexed
+            # empirical rank band of v in the sorted stratum
+            import bisect
+            lo = bisect.bisect_left(lens, v) + 1
+            hi = bisect.bisect_right(lens, v)
+            tol = 1 + n // ACC
+            dist = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+            assert dist <= tol, (lang, p, v, target, lo, hi, n)
+            # and the exact reference value sits at the target rank
+            assert exact[lang][f"p{p}"] == lens[target - 1]
