@@ -1565,3 +1565,219 @@ def length_quantiles_approx(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr REMOVAL (tiled): the operator dup_span_stats only profiles
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_spans_remove",
+    f"""
+    with t as (
+      select doc_id, string_split(text, ' ') as ws from documents
+    ),
+    tiles as (
+      select doc_id, g as tile_idx,
+             array_to_string(ws[g*{_SPAN_W}+1 : g*{_SPAN_W}+{_SPAN_W}], ' ') as gram
+      from t, unnest(range(len(ws)//{_SPAN_W})) as r(g)
+    ),
+    ranked as (
+      select doc_id, tile_idx, gram,
+             row_number() over (partition by md5(gram)
+                                order by doc_id, tile_idx) as rn
+      from tiles
+    ),
+    kept as (
+      select doc_id,
+             count(*) as n_tiles,
+             sum(case when rn > 1 then 1 else 0 end) as removed_tiles,
+             string_agg(case when rn = 1 then gram end, ' '
+                        order by tile_idx) as tiles_str
+      from ranked group by doc_id
+    )
+    select t.doc_id,
+           coalesce(k.n_tiles, 0)::bigint as n_tiles,
+           coalesce(k.removed_tiles, 0)::bigint as removed_tiles,
+           md5(concat_ws(' ',
+             nullif(coalesce(k.tiles_str, ''), ''),
+             nullif(array_to_string(
+               ws[(len(ws)//{_SPAN_W})*{_SPAN_W}+1 : len(ws)], ' '), '')
+           )) as clean_md5
+    from t left join kept k using (doc_id)
+    order by t.doc_id
+    """,
+)
+def dedup_spans_remove(spark, sf_dir):
+    """ExactSubstr REMOVAL (Lee et al. 2021) — the cleaning half of the
+    pair whose profiling half is :func:`dup_span_stats`: every duplicated
+    _SPAN_W-word span is removed from the corpus EXCEPT its globally
+    first occurrence (first = smallest (doc_id, position)), and each doc
+    re-assembles from its surviving spans.  Spans here are deterministic
+    non-overlapping TILES (words [g*W, g*W+W)), so removal is exact set
+    subtraction and the cleaned text is reconstructable in pure column
+    algebra in both engines — the suffix-array-free form of the paper's
+    operator.  The sub-tile tail (< W words) is never a removal
+    candidate and is always kept.
+
+    Output: per doc, the tile counts and the md5 of the cleaned text
+    (portable witness of the reconstruction; emitting the full cleaned
+    text would hash the same but bloats the compare).
+
+    Scale shape: the tiling explode is n/W rows per doc (10x fewer than
+    the overlapping profile), first-occurrence election is ONE window
+    shuffle keyed by span hash (group size = corpus frequency of the
+    span), re-assembly is a per-doc groupBy.  No join back to the
+    corpus, no all-pairs; at 10^10 docs this is the same single-shuffle
+    shape that makes dup_span_stats viable, and the removal decision
+    parallelizes per span hash exactly like the paper's distributed
+    suffix-array buckets."""
+    W = _SPAN_W
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("ws")).persist()
+    nt = F.expr(f"size(ws) div {W}")
+    tiles = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                nt >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), (nt - 1).cast("int")),
+                    lambda g: F.struct(
+                        g.cast("long").alias("tile_idx"),
+                        F.concat_ws(
+                            " ", F.slice("ws", g * W + 1, W)
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<tile_idx:long,gram:string>>")
+            )
+        ).alias("tg"),
+    ).select("doc_id", F.col("tg.tile_idx"), F.col("tg.gram"))
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("gram")).orderBy("doc_id", "tile_idx")
+    )
+    ranked = tiles.select("doc_id", "tile_idx", "gram", rn.alias("rn"))
+    kept = ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tiles"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("removed_tiles"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "tile_idx",
+                            F.when(F.col("rn") == 1, F.col("gram")).alias("g1"),
+                        )
+                    )
+                ),
+                lambda x: x["g1"],
+            ),
+            " ",  # array_join skips nulls (the removed tiles)
+        ).alias("tiles_str"),
+    )
+    rem = F.array_join(
+        F.expr(f"slice(ws, (size(ws) div {W})*{W}+1, "
+               f"size(ws) - (size(ws) div {W})*{W})"),
+        " ",
+    )
+    out = (
+        t.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tiles", F.lit(0)).cast("long").alias("n_tiles"),
+            F.coalesce("removed_tiles", F.lit(0))
+            .cast("long")
+            .alias("removed_tiles"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.nullif(F.coalesce("tiles_str", F.lit("")), F.lit("")),
+                    F.nullif(rem, F.lit("")),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-source quality rollup (the tier-crawl prioritization input)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "host_quality_rollup",
+    """
+    with by_lang as (
+      select source, lang, count(*) as n
+      from documents group by source, lang
+    ),
+    maj as (
+      select source, lang as majority_lang, n,
+             row_number() over (partition by source order by n desc, lang) as rn,
+             sum(n) over (partition by source) as total
+      from by_lang
+    )
+    select d.source,
+           count(*)::bigint as n_docs,
+           (sum(n_chars) // count(*))::bigint as mean_chars,
+           sum(case when n_chars < 100 then 1 else 0 end)::bigint as short_docs,
+           max(m.majority_lang) as majority_lang,
+           max((1000 * m.n) // m.total)::bigint as majority_permille
+    from documents d
+    join (select * from maj where rn = 1) m using (source)
+    group by d.source
+    order by d.source
+    """,
+)
+def host_quality_rollup(spark, sf_dir):
+    """Per-source (host-analog) corpus quality rollup — the aggregate
+    that feeds tier assignment (crawl_tier_assign) and budget allocation
+    (effective_budget) in a tier crawl: document count, mean length
+    (integer floor division — the cross-engine rule), short-doc count,
+    and the majority language with its integer-permille share (ties
+    broken lexicographically so both engines elect the same language).
+
+    Scale shape: two groupBys on the (source[, lang]) keys — both
+    map-side combined, shuffle = O(distinct sources x langs) — plus one
+    per-source window over that tiny aggregate and a broadcast-size join
+    back.  Nothing here scales with rows except the first partial
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    by_lang = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w_rank = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    w_tot = Window.partitionBy("source")
+    maj = (
+        by_lang.select(
+            "source",
+            F.col("lang").alias("majority_lang"),
+            "n",
+            F.row_number().over(w_rank).alias("rn"),
+            F.sum("n").over(w_tot).alias("total"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "majority_lang",
+            F.expr("(1000 * n) div total").alias("majority_permille"),
+        )
+    )
+    stats = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(n_chars) div count(*)").cast("long").alias("mean_chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+        .cast("long")
+        .alias("short_docs"),
+    )
+    return (
+        stats.join(F.broadcast(maj), "source")
+        .select(
+            "source", "n_docs", "mean_chars", "short_docs",
+            "majority_lang", F.col("majority_permille").cast("long"),
+        )
+        .orderBy("source")
+    )
