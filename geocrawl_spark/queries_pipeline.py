@@ -1634,7 +1634,11 @@ def dedup_spans_remove(spark, sf_dir):
     suffix-array buckets."""
     W = _SPAN_W
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("ws")).persist()
+    # no persist: `t` is scanned twice (tile explode + the reassembly
+    # join), but a leaked cache block per query call would accumulate
+    # across the driver's 60-query sweep; one extra tokenize pass is
+    # the cheaper steady-state (matches the rest of this file)
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
     nt = F.expr(f"size(ws) div {W}")
     tiles = t.select(
         "doc_id",

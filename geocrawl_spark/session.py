@@ -21,7 +21,11 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER lets the cluster scaling bench point the same
+    # session factory at a standalone master (spark://host:port) — the
+    # N-vs-4N-EXECUTORS measurement runs real separate executor JVMs
+    # instead of local[N] threads (scripts/cluster_scaling_bench.py).
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     # Python workers must be able to import this package even when the
     # driver script runs from elsewhere (spark-submit ships it via
     # --py-files on a real cluster; locally we arm PYTHONPATH).
