@@ -156,6 +156,7 @@ class CrawlEngine:
         host_rank: DataFrame | None = None,
         log_links: bool = False,
         adaptive_budget: bool = False,
+        quality_rank: bool = False,
     ):
         self.spark = spark
         #: Caching the pages corpus is OPT-IN (small-corpus / test / bench
@@ -220,6 +221,26 @@ class CrawlEngine:
             if host_rank is not None
             else None
         )
+        #: Opt-in QUALITY-FEEDBACK prioritization (the tier-crawl loop
+        #: closed on the crawl's own content instead of its link graph):
+        #: discoveries in round r are priority-stamped by their host's
+        #: cumulative mean EXTRACTED-text length through round r-1 —
+        #: score = min(PRIO_RANK_MAX, sum_chars div n_docs), priority =
+        #: depth * PRIO_SCALE + (PRIO_RANK_MAX - score) (the same
+        #: politeness.PRIO_* composition as host_rank, so depth stays
+        #: the major key).  Integer floor math end-to-end; the
+        #: cumulative (host, sum_chars, n_docs) persists per round as
+        #: the ``hostqual`` table, so a resumed engine continues
+        #: identically, and rows already stamped keep their priority (a
+        #: host's later quality never rewrites history — matches the
+        #: pyref twin).  Mutually exclusive with the static host_rank
+        #: dimension: one prioritization policy per engine.
+        if quality_rank and host_rank is not None:
+            raise ValueError(
+                "quality_rank and host_rank are mutually exclusive "
+                "prioritization policies"
+            )
+        self.quality_rank = quality_rank
         #: Opt-in link-graph logging: per round, persist every extracted
         #: (src_url, dst_url, kind) edge as a `links` table — the input
         #: to host_link_graph() -> queries_pipeline.pagerank_integer ->
@@ -391,13 +412,38 @@ class CrawlEngine:
             .filter(F.col("carry") > 0)
         )
 
-    def _frontier_rows(self, flagged: DataFrame, round_no: int) -> DataFrame:
+    def _quality_rank_dim(self, round_no: int) -> DataFrame | None:
+        """Per-round prioritization dimension from the crawl's own content
+        quality: hostqual@(round_no-1) -> (host, rank) with rank =
+        min(PRIO_RANK_MAX, sum_chars div n_docs).  One row per fetched
+        host — broadcast into discovery stamping, never a shuffle.  None
+        for round 0 (no history yet: every host scores 0)."""
+        if not self.quality_rank or round_no == 0:
+            return None
+        return self.io.read_table(self.spark, "hostqual", round_no - 1).select(
+            "host",
+            F.least(
+                F.lit(pol.PRIO_RANK_MAX), F.expr("sum_chars div n_docs")
+            ).cast("long").alias("rank"),
+        )
+
+    def _frontier_rows(
+        self, flagged: DataFrame, round_no: int, rank_dim: DataFrame | None = None
+    ) -> DataFrame:
         rows = flagged.filter(F.col("kind") == "page")
-        if self.host_rank is None:
+        dim = self.host_rank if self.host_rank is not None else rank_dim
+        if dim is None and not self.quality_rank:
             prio = F.col("depth")  # BFS priority = depth
+        elif dim is None:
+            # quality_rank round 0: no history — every score is 0, but the
+            # PRIO formula must still apply or round-0 priorities would
+            # live on a different scale than every later round's
+            prio = (
+                F.col("depth") * pol.PRIO_SCALE + F.lit(pol.PRIO_RANK_MAX)
+            ).cast("long")
         else:
             rows = rows.join(
-                F.broadcast(self.host_rank.withColumnRenamed("rank", "_rank")),
+                F.broadcast(dim.withColumnRenamed("rank", "_rank")),
                 "host",
                 "left",
             )
@@ -472,6 +518,19 @@ class CrawlEngine:
                         0,
                     )
                 )
+            if self.quality_rank:
+                # round 0 fetches nothing — seed the cumulative quality
+                # table empty so round 1's hostqual read always resolves
+                writes.append(
+                    pool.submit(
+                        self.io.write_table,
+                        self.spark.createDataFrame(
+                            [], "host string, sum_chars long, n_docs long"
+                        ),
+                        "hostqual",
+                        0,
+                    )
+                )
             for w in writes:
                 w.result()  # propagate failures BEFORE the commit point
             # AFTER the flagged-scanning writes: the abucket append's
@@ -481,7 +540,7 @@ class CrawlEngine:
         self.io.commit_round(
             0,
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
-             "crawl_log", "hosterr"],
+             "crawl_log", "hosterr", "hostqual"],
         )
         for df in (flagged, *parents):
             df.unpersist()
@@ -532,6 +591,16 @@ class CrawlEngine:
             if self.adaptive_budget
             else None
         )
+        # quality-feedback prioritization inputs: cumulative per-host
+        # quality THROUGH round-1 (this round's fetches update it for the
+        # NEXT round — discoveries are judged by what their host served
+        # before, the contract the pyref twin mirrors)
+        prev_qual = (
+            self.io.read_table(self.spark, "hostqual", round_no - 1)
+            if self.quality_rank
+            else None
+        )
+        rank_dim = self._quality_rank_dim(round_no)
         eff_budget = self._effective_budget(carry, err)
         batch = global_sequence(
             pol.pop_batch(pending, eff_budget, self.salt),
@@ -575,7 +644,7 @@ class CrawlEngine:
         pool = ThreadPoolExecutor(max_workers=8)
         writes: list = []
         flagged = kinded = parsed = persist_state = None
-        pend_h = done_h = None
+        pend_h = done_h = ext_src = None
         parents: list = []
         f_nassets = f_ndead = None
         try:
@@ -603,16 +672,52 @@ class CrawlEngine:
                     writes.append(
                         pool.submit(self.io.write_table, state, "seen_shards", round_no)
                     )
+                if self.quality_rank:
+                    # nothing fetched -> quality history unchanged; carry it
+                    writes.append(
+                        pool.submit(
+                            self.io.write_table, prev_qual, "hostqual", round_no
+                        )
+                    )
                 self._mark(marks, "fastpath_empty_fetch")
             else:
                 # --- extract text (byte-identity invariant) + provenance -----
-                extracted = got.select(
-                    "url",
+                ext_cols = [
+                    F.col("url"),
                     F.lit(round_no).alias("round"),
                     A.extract_text_udf("html").alias("text_extracted"),
                     F.length("html").alias("content_length"),
-                    "warc_ts",
-                )
+                    F.col("warc_ts"),
+                ]
+                if self.quality_rank:
+                    # the quality aggregate and the extracted snapshot share
+                    # one persisted extraction pass (host carried alongside,
+                    # dropped from the written table so its schema — and the
+                    # byte-identity goldens — are unchanged); the pandas UDF
+                    # runs once per page, not twice
+                    ext_src = got.select(F.col("host"), *ext_cols).persist()
+                    extracted = ext_src.drop("host")
+                    qual_now = ext_src.groupBy("host").agg(
+                        F.sum(F.length("text_extracted"))
+                        .cast("long")
+                        .alias("sum_chars"),
+                        F.count("*").cast("long").alias("n_docs"),
+                    )
+                    new_qual = (
+                        prev_qual.unionByName(qual_now)
+                        .groupBy("host")
+                        .agg(
+                            F.sum("sum_chars").cast("long").alias("sum_chars"),
+                            F.sum("n_docs").cast("long").alias("n_docs"),
+                        )
+                    )
+                    writes.append(
+                        pool.submit(
+                            self.io.write_table, new_qual, "hostqual", round_no
+                        )
+                    )
+                else:
+                    extracted = got.select(*ext_cols)
                 writes.append(
                     pool.submit(self.io.write_table, extracted, "extracted", round_no)
                 )
@@ -768,7 +873,7 @@ class CrawlEngine:
                 frontier.filter(F.col("discovered_round").isin(touched))
                 .join(batch_done.select("url"), "url", "left_anti")
                 .unionByName(batch_done)
-                .unionByName(self._frontier_rows(flagged, round_no))
+                .unionByName(self._frontier_rows(flagged, round_no, rank_dim))
             )
             writes.append(
                 pool.submit(
@@ -796,7 +901,7 @@ class CrawlEngine:
             self._mark(marks, "seen_persist")
         finally:
             pool.shutdown(wait=True, cancel_futures=True)
-            for df in (fetched, flagged, parsed, pend_h, done_h, *parents):
+            for df in (fetched, flagged, parsed, pend_h, done_h, ext_src, *parents):
                 if df is not None:
                     df.unpersist()
             if kinded is not None:
@@ -807,6 +912,7 @@ class CrawlEngine:
              "crawl_log", "extracted", "metadata", "dead_letters", "host_log",
              "links",  # opt-in link-graph log (declared only when written)
              "hosterr",  # opt-in adaptive-budget feedback (ditto)
+             "hostqual",  # opt-in quality-feedback prioritization (ditto)
              "batch"],  # batch = global_sequence's range files (committed,
                         # so rollback cleans them — no orphan scratch dirs)
         )
@@ -1022,8 +1128,19 @@ class CrawlEngine:
                 "hosterr",
                 round_no,
             )
+        if self.quality_rank:
+            # quality-rank engines read hostqual@round-1 unconditionally in
+            # run_round — carry the cumulative quality history across the
+            # refresh commit exactly like hosterr/hostcarry above
+            self.io.write_table(
+                self.io.read_table(self.spark, "hostqual", r_prev),
+                "hostqual",
+                round_no,
+            )
         self.io.commit_round(
-            round_no, ["frontier", *self._state_tables(), "hostcarry", "hosterr"]
+            round_no,
+            ["frontier", *self._state_tables(), "hostcarry", "hosterr",
+             "hostqual"],
         )
         return int(n_sel)
 

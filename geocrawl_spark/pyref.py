@@ -58,6 +58,7 @@ class PyRefCrawl:
         round_seconds: int = 60,
         host_rank: dict[str, int] | None = None,
         adaptive_budget: bool = False,
+        quality_rank: bool = False,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
@@ -83,6 +84,16 @@ class PyRefCrawl:
         self.round_cap = round_cap  # E3 global per-round batch ceiling
         # opt-in host-rank prioritization twin (politeness.PRIO_* formula)
         self.host_rank = host_rank
+        # opt-in quality-feedback prioritization twin (CrawlEngine
+        # quality_rank): cumulative per-host (sum extracted chars, docs);
+        # discoveries in round r are scored by history THROUGH r-1, so the
+        # fold into self.qual happens strictly AFTER the round's _admit
+        if quality_rank and host_rank is not None:
+            raise ValueError(
+                "quality_rank and host_rank are mutually exclusive"
+            )
+        self.quality_rank = quality_rank
+        self.qual: dict[str, tuple[int, int]] = {}
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
         self.admitted: list[tuple[str, str]] = []
@@ -113,7 +124,11 @@ class PyRefCrawl:
             dis, alw = self.robots.get(host, ([], []))
             is_denied = robots_denied_py(u, dis, alw)
             denied_by_kind[kind] += is_denied
-            if self.host_rank is None:
+            if self.quality_rank:
+                sc, nd = self.qual.get(host, (0, 0))
+                score = min(PRIO_RANK_MAX, sc // nd) if nd else 0
+                prio = depth * PRIO_SCALE + (PRIO_RANK_MAX - score)
+            elif self.host_rank is None:
                 prio = depth
             else:
                 prio = depth * PRIO_SCALE + (
@@ -194,6 +209,7 @@ class PyRefCrawl:
         counters["deferred_politeness"] = len(pending) - len(batch)
 
         cands: dict[str, tuple[int, str]] = {}
+        round_qual: dict[str, list[int]] = {}  # quality_rank: this round's
         for seq, row in enumerate(batch, start=1):
             ph = per_host[row["host"]]
             row["fetch_round"] = round_no
@@ -210,6 +226,10 @@ class PyRefCrawl:
             self.crawl_order.append((round_no, seq, row["url"]))
             html = page.html if isinstance(page.html, bytes) else bytes(page.html)
             self.extracted[row["url"]] = extract_text_py(html)
+            if self.quality_rank:
+                rq = round_qual.setdefault(row["host"], [0, 0])
+                rq[0] += len(self.extracted[row["url"]])
+                rq[1] += 1
             for href in extract_links_py(html):
                 canon = canonicalize_url(resolve_href_py(row["url"], href))
                 d = row["depth"] + 1
@@ -226,6 +246,12 @@ class PyRefCrawl:
                     cands[canon] = (d, kind)
 
         rows, deduped, denied = self._admit(cands, round_no)
+        if self.quality_rank:
+            # fold AFTER _admit: this round's fetches must not influence
+            # this round's discovery priorities (engine reads hostqual@r-1)
+            for h, (sc, nd) in round_qual.items():
+                psc, pnd = self.qual.get(h, (0, 0))
+                self.qual[h] = (psc + sc, pnd + nd)
         counters["deduped"] = deduped
         counters["robots_denied"] = denied["page"] + denied["asset"]
         n_fresh_pages = sum(1 for r in rows if r["kind"] == "page")
