@@ -338,19 +338,42 @@ def main():
         "sf": sf_dir,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
-    line = json.dumps(out, separators=(",", ":"))
-    # durable copy first (the file survives whatever a log capture does to
-    # the stream), then stop Spark so nothing can write after the JSON,
-    # then the JSON as the true last line of stdout
-    os.makedirs(os.path.join(os.path.dirname(__file__) or ".", "BENCH"), exist_ok=True)
-    with open(
-        os.path.join(os.path.dirname(__file__) or ".", "BENCH", "latest.json"), "w"
-    ) as f:
-        f.write(line + "\n")
+    full_line = json.dumps(out, separators=(",", ":"))
+    # The driver records only the LAST ~2000 chars of output and parses the
+    # final line (BENCH_r04's full line was 2145 chars -> "parsed": null).
+    # Emit the full record first for the log, then a slim line — capped
+    # well under the tail window — as the true last line of stdout.
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "strategy": out["strategy"],
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": sf_dir,
+    }
+    slim_line = json.dumps(slim, separators=(",", ":"))
+    if len(slim_line) > 1900:  # degrade gracefully as the suite grows
+        slim["queries"] = {k: round(v, 1) for k, v in queries.items()}
+        slim_line = json.dumps(slim, separators=(",", ":"))
+    if len(slim_line) > 1900:
+        slim["queries"] = {
+            k: round(v, 1) for k, v in queries.items() if k.startswith("frontier")
+        }
+        slim["queries_full"] = "BENCH/latest_full.json"
+        slim_line = json.dumps(slim, separators=(",", ":"))
+    # durable copies first (files survive whatever a log capture does to
+    # the stream), then stop Spark so nothing can write after the JSON
+    bench_dir = os.path.join(os.path.dirname(__file__) or ".", "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "latest_full.json"), "w") as f:
+        f.write(full_line + "\n")
+    with open(os.path.join(bench_dir, "latest.json"), "w") as f:
+        f.write(slim_line + "\n")
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
-    print(line, flush=True)
+    print(full_line, flush=True)
+    print(slim_line, flush=True)
 
 
 if __name__ == "__main__":
