@@ -468,7 +468,10 @@ def test_dedup_incremental_decisions(spark, tmp_path):
     assert got[0]["best_jacc_millionths"] == 1_000_000
     assert got[10]["keep"] == 1
     assert got[10]["n_candidates"] == 0
-    assert got[10]["best_match"] is None
+    # no-candidate sentinel is -1, not NULL: the output is null-free so the
+    # driver's value hash can't diverge on engine-specific NULL renderings
+    assert got[10]["best_match"] == -1
+    assert got[10]["best_jacc_millionths"] == -1
 
 
 def test_dedup_incremental_lsh_candidate_below_threshold_kept(spark, tmp_path):
