@@ -1785,3 +1785,168 @@ def host_quality_rollup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality proxy (integer surprisal) + source vocabulary novelty
+# ---------------------------------------------------------------------------
+
+#: vocabulary cap for the surprisal model: the per-token frequency table
+#: is truncated to the top-V tokens by (count desc, token) before the
+#: broadcast join, and any token outside it scores as a hapax (f=1, max
+#: surprisal) — the OOV rule every production unigram scorer applies.  At
+#: corpus scale the FULL vocabulary (10^8+ distinct tokens on webtext) is
+#: not broadcastable and the exact join would shuffle n_tokens rows on a
+#: zipf-skewed key; the cap turns the whole operator into one broadcast
+#: join.  Never silent: `oov_tokens` in the output counts what the cap
+#: scored as OOV per doc (0 at oracle scale, where vocab << V).
+_SURPRISAL_V = 65536
+
+_SURPRISAL_SQL = f"""
+    with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as tok from documents
+    ),
+    tot as (select count(*)::bigint as n from toks),
+    freq as (select tok, count(*)::bigint as f from toks group by tok),
+    vocab as (select tok, f from freq order by f desc, tok limit {_SURPRISAL_V}),
+    top10 as (select tok from vocab order by f desc, tok limit 10),
+    s as (
+      select t.doc_id,
+             (length(bin((select n from tot)))
+              - length(bin(coalesce(v.f, 1))))::bigint as sbits,
+             case when t.tok in (select tok from top10) then 1 else 0 end as is_top,
+             case when v.tok is null then 1 else 0 end as is_oov
+      from toks t left join vocab v using (tok)
+    )
+    select doc_id,
+           count(*)::bigint as n_tokens,
+           ((1000 * sum(sbits)) // count(*))::bigint as mean_surprisal_millibits,
+           max(sbits)::bigint as max_surprisal_bits,
+           ((1000 * sum(is_top)) // count(*))::bigint as top10_permille,
+           sum(is_oov)::bigint as oov_tokens
+    from s group by doc_id order by doc_id
+"""
+
+
+@_q("unigram_surprisal", _SURPRISAL_SQL)
+def unigram_surprisal(spark, sf_dir):
+    """Per-document unigram-LM quality score in EXACT integer arithmetic
+    — the perplexity-proxy filter of webtext pipelines (CCNet trains a
+    real LM; the unigram bound is the zero-dependency version) made
+    hash-portable: token surprisal is quantized to whole bits as
+    ilog2(N) - ilog2(f) where ilog2(x) = length(bin(x)) - 1, and
+    ``bin()`` is bit-identical in Spark and DuckDB, so no float log ever
+    enters the result.  Low mean surprisal = script/boilerplate-like
+    (all-stopword) text; high = gibberish/rare-token soup; both tails
+    get cut in a real mixing recipe.  top10_permille is the stopword
+    ratio with the corpus's OWN top-10 as the stopword list (language
+    agnostic), and oov_tokens makes the _SURPRISAL_V cap observable.
+
+    Scale shape: one explode -> map-side-combined groupBy builds the
+    frequency table; TakeOrdered caps it at V (distributed top-k, no
+    single-partition sort); the per-token scoring join is then a
+    BROADCAST of the capped vocab against the token stream — zero
+    shuffle on the zipf-skewed token key — and the per-doc rollup is one
+    map-side-combined groupBy on doc_id.  Two passes over the tokens,
+    both embarrassingly parallel."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    vocab = freq.orderBy(F.desc("f"), F.asc("tok")).limit(_SURPRISAL_V)
+    top10 = (
+        vocab.orderBy(F.desc("f"), F.asc("tok"))
+        .limit(10)
+        .select("tok", F.lit(1).alias("is_top"))
+    )
+    total = toks.agg(F.count("*").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .join(F.broadcast(top10), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.col("n")))
+                - F.length(F.bin(F.coalesce(F.col("f"), F.lit(1))))
+            )
+            .cast("long")
+            .alias("sbits"),
+            F.coalesce("is_top", F.lit(0)).alias("is_top"),
+            F.when(F.col("f").isNull(), 1).otherwise(0).alias("is_oov"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.expr("(1000 * sum(sbits)) div count(*)")
+            .cast("long")
+            .alias("mean_surprisal_millibits"),
+            F.max("sbits").cast("long").alias("max_surprisal_bits"),
+            F.expr("(1000 * sum(is_top)) div count(*)")
+            .cast("long")
+            .alias("top10_permille"),
+            F.sum("is_oov").cast("long").alias("oov_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = """
+    with t0 as (
+      select source, unnest(string_split(text, ' ')) as tok from documents
+    ),
+    st as (select distinct source, tok from t0),
+    sc as (select tok, count(*)::bigint as n_src from st group by tok),
+    j as (
+      select st.source, case when sc.n_src = 1 then 1 else 0 end as uniq
+      from st join sc using (tok)
+    )
+    select source,
+           count(*)::bigint as n_vocab,
+           sum(uniq)::bigint as n_unique,
+           ((1000 * sum(uniq)) // count(*))::bigint as novelty_permille
+    from j group by source order by source
+"""
+
+
+@_q("source_vocab_novelty", _NOVELTY_SQL)
+def source_vocab_novelty(spark, sf_dir):
+    """Per-source vocabulary novelty — how much of a source's vocabulary
+    appears NOWHERE else in the corpus.  The data-mixing diagnostic
+    behind source weighting: a mirror/aggregator site scores ~0 (its
+    vocabulary is everyone else's), a niche-domain source scores high,
+    and a spam source full of generated tokens scores suspiciously high
+    — both tails are exactly what a curation pass inspects before
+    setting mixture weights.
+
+    Scale shape: explode -> distinct (source, tok) pairs — ONE shuffle,
+    map-side pre-deduped, cardinality O(sources x per-source vocab) not
+    O(tokens); the per-token source count is a groupBy on that deduped
+    set (skew-free: a token's row count is bounded by n_sources, not its
+    corpus frequency); the final join is back onto the same deduped
+    pairs.  Nothing downstream of the first distinct scales with corpus
+    token count.  All-integer output."""
+    d = _t(spark, sf_dir, "documents")
+    st = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    sc = st.groupBy("tok").agg(F.count("*").alias("n_src"))
+    return (
+        st.join(sc, "tok")
+        .select(
+            "source",
+            F.when(F.col("n_src") == 1, 1).otherwise(0).alias("uniq"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_vocab"),
+            F.sum("uniq").cast("long").alias("n_unique"),
+            F.expr("(1000 * sum(uniq)) div count(*)")
+            .cast("long")
+            .alias("novelty_permille"),
+        )
+        .orderBy("source")
+    )

@@ -552,3 +552,55 @@ def test_length_quantiles_approx_parity(spark):
             assert dist <= tol, (lang, p, v, target, lo, hi, n)
             # and the exact reference value sits at the target rank
             assert exact[lang][f"p{p}"] == lens[target - 1]
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal quality + source vocabulary novelty
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_surprisal_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import unigram_surprisal
+
+    # corpus: a x7, z x1, r0..r11 x1 -> N=20 tokens, ilog2 via bin length:
+    # len(bin(20))=5, sbits(a)=5-len(bin(7))=2, sbits(singletons)=5-1=4
+    rows = [
+        ("a a a a", "en"),
+        ("a a a z", "en"),
+        (" ".join(f"r{i}" for i in range(12)), "en"),
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in unigram_surprisal(spark, sf).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["mean_surprisal_millibits"] == 2000
+    assert got[0]["max_surprisal_bits"] == 2
+    assert got[0]["top10_permille"] == 1000
+    assert got[0]["oov_tokens"] == 0
+    # doc1: 3x a + 1x z -> (3*2 + 4) * 1000 // 4
+    assert got[1]["mean_surprisal_millibits"] == 2500
+    assert got[1]["max_surprisal_bits"] == 4
+    # top10 by (f desc, tok asc): a + 9 lexicographically-first singletons
+    # (r0, r1, r10, r11, r2..r6); z and r7..r9 are outside
+    assert got[1]["top10_permille"] == 750
+    assert got[2]["n_tokens"] == 12
+    assert got[2]["mean_surprisal_millibits"] == 4000
+    assert got[2]["top10_permille"] == 750  # 9 of 12 tokens in top-10
+
+
+def test_source_vocab_novelty_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import source_vocab_novelty
+
+    # _docs_dir: doc i -> source src{i%20}; three docs -> three sources
+    rows = [
+        ("a a a a", "en"),                             # src0 vocab {a}
+        ("a a a z", "en"),                             # src1 vocab {a,z}
+        (" ".join(f"r{i}" for i in range(12)), "en"),  # src2 vocab {r*}
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["source"]: r for r in source_vocab_novelty(spark, sf).collect()}
+    assert got["src0"]["n_vocab"] == 1 and got["src0"]["n_unique"] == 0
+    assert got["src0"]["novelty_permille"] == 0
+    assert got["src1"]["n_vocab"] == 2 and got["src1"]["n_unique"] == 1
+    assert got["src1"]["novelty_permille"] == 500
+    assert got["src2"]["n_vocab"] == 12 and got["src2"]["n_unique"] == 12
+    assert got["src2"]["novelty_permille"] == 1000
