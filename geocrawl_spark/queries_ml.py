@@ -84,10 +84,11 @@ def dedup_exact(spark, sf_dir):
 #: identical algorithm, so both engines agree at every sf.
 _DF_CAP = 50
 
-@_q(
-    "dedup_ngram_jaccard",
-    f"""
-    with sh as (
+#: shared CTE chain for df-capped shingle pair generation — ends at
+#: ``pairs_sized`` (doc_a < doc_b, true intersection i over the FULL
+#: shingle sets, set sizes n_a/n_b).  dedup_ngram_jaccard reads the
+#: symmetric measure off it; dedup_containment the asymmetric one.
+_INTER_CTES = f"""sh as (
       select doc_id, unnest({_SHINGLE_SQL}) as s from documents
     ),
     sizes as (select doc_id, count(*)::bigint as n from sh group by 1),
@@ -109,22 +110,20 @@ _DF_CAP = 50
     inter as (
       select r.doc_a, r.doc_b, r.ir + coalesce(h.ih, 0) as i
       from inter_rare r left join inter_hot h using (doc_a, doc_b)
-    )
-    select doc_a, doc_b, round(i / (na.n + nb.n - i), 4) as jaccard
-    from inter
-      join sizes na on doc_a = na.doc_id
-      join sizes nb on doc_b = nb.doc_id
-    where i / (na.n + nb.n - i) >= 0.5
-    """,
-)
-def dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard dedup with df-capped pair generation (see _DF_CAP):
-    candidate pairs and the rare part of the intersection come from a
-    self-join restricted to shingles with df <= cap (per-key fan-out
-    bounded by cap^2, never quadratic in corpus size); the hot shingles'
-    contribution is added back with a join that touches only the
-    (bounded) candidate pairs x (few distinct hot shingles), so the
-    reported jaccard is the TRUE value over the full shingle sets."""
+    ),
+    pairs_sized as (
+      select doc_a, doc_b, i, na.n as n_a, nb.n as n_b
+      from inter
+        join sizes na on doc_a = na.doc_id
+        join sizes nb on doc_b = nb.doc_id
+    )"""
+
+
+def _shingle_pair_intersections(spark, sf_dir) -> DataFrame:
+    """(doc_a < doc_b, i, n_a, n_b): df-capped candidate pairs with the
+    TRUE shingle-set intersection — the Spark twin of
+    :data:`_INTER_CTES`, shared by :func:`dedup_ngram_jaccard` and
+    :func:`dedup_containment`."""
     d = _t(spark, sf_dir, "documents")
     dw = d.select("doc_id", _words(F.col("text")).alias("ws"))
     sh = dw.select(
@@ -163,12 +162,92 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return inter.join(na, "doc_a").join(nb, "doc_b")
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    with {_INTER_CTES}
+    select doc_a, doc_b, round(i / (n_a + n_b - i), 4) as jaccard
+    from pairs_sized
+    where i / (n_a + n_b - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard dedup with df-capped pair generation (see _DF_CAP):
+    candidate pairs and the rare part of the intersection come from a
+    self-join restricted to shingles with df <= cap (per-key fan-out
+    bounded by cap^2, never quadratic in corpus size); the hot shingles'
+    contribution is added back with a join that touches only the
+    (bounded) candidate pairs x (few distinct hot shingles), so the
+    reported jaccard is the TRUE value over the full shingle sets."""
+    p = _shingle_pair_intersections(spark, sf_dir)
     jac = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return p.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+#: asymmetric-containment report threshold (parts per million): c(sub ->
+#: sup) = |shingles(sub) ∩ shingles(sup)| / |shingles(sub)| >= 0.8.
+_CONTAIN_PPM = 800_000
+
+
+@_q(
+    "dedup_containment",
+    f"""
+    with {_INTER_CTES},
+    directed as (
+      select doc_a as doc_sub, doc_b as doc_sup, i, n_a as n_sub, n_a, n_b
+      from pairs_sized
+      union all
+      select doc_b, doc_a, i, n_b, n_a, n_b from pairs_sized
+    )
+    select doc_sub, doc_sup,
+           ((1000000 * i) // n_sub)::bigint as containment_ppm,
+           ((1000000 * i) // (n_a + n_b - i))::bigint as jaccard_ppm
+    from directed
+    where (1000000 * i) // n_sub >= {_CONTAIN_PPM}
+    order by doc_sub, doc_sup
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment (Broder's c(A,B) = |A∩B|/|A|) over
+    the same df-capped candidate pairs as :func:`dedup_ngram_jaccard`:
+    flags a doc whose shingle set is >= 80% inside another doc's —
+    quotes, syndicated articles wrapped in different boilerplate, and
+    page-of-a-larger-page relations that SYMMETRIC Jaccard structurally
+    misses (a small doc inside a 10x-larger one has jaccard <= 0.1 at
+    containment 1.0; jaccard_ppm is emitted alongside to make exactly
+    that gap visible).  Integer millionths with floor division, so both
+    engines agree bit-for-bit.
+
+    Scale shape: identical to dedup_ngram_jaccard — the intersection
+    table is computed ONCE (df-capped posting lists + hot add-back) and
+    the directed doubling is a union of two projections of it, no new
+    shuffle; candidate-pair recall shares the _DF_CAP contract."""
+    p = _shingle_pair_intersections(spark, sf_dir)
+    a_sub = p.select(
+        F.col("doc_a").alias("doc_sub"), F.col("doc_b").alias("doc_sup"),
+        "i", F.col("n_a").alias("n_sub"), "n_a", "n_b",
+    )
+    b_sub = p.select(
+        F.col("doc_b").alias("doc_sub"), F.col("doc_a").alias("doc_sup"),
+        "i", F.col("n_b").alias("n_sub"), "n_a", "n_b",
+    )
+    d = a_sub.unionByName(b_sub)
+    cont = F.expr("(1000000 * i) div n_sub")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        d.filter(cont >= _CONTAIN_PPM)
+        .select(
+            "doc_sub",
+            "doc_sup",
+            cont.cast("long").alias("containment_ppm"),
+            F.expr("(1000000 * i) div (n_a + n_b - i)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
     )
 
 

@@ -1802,8 +1802,12 @@ def host_quality_rollup(spark, sf_dir):
 #: scored as OOV per doc (0 at oracle scale, where vocab << V).
 _SURPRISAL_V = 65536
 
-_SURPRISAL_SQL = f"""
-    with toks as (
+#: shared CTE chain for the surprisal family — ends at ``surp``, the
+#: per-doc integer score table (doc_id, n_tokens,
+#: mean_surprisal_millibits, max_surprisal_bits, top10_permille,
+#: oov_tokens); :data:`_SURPRISAL_SQL` projects it directly and
+#: :func:`perplexity_bucket_assign` ranks it into CCNet buckets.
+_SURPRISAL_CTES = f"""toks as (
       select doc_id, unnest(string_split(text, ' ')) as tok from documents
     ),
     tot as (select count(*)::bigint as n from toks),
@@ -1817,14 +1821,22 @@ _SURPRISAL_SQL = f"""
              case when t.tok in (select tok from top10) then 1 else 0 end as is_top,
              case when v.tok is null then 1 else 0 end as is_oov
       from toks t left join vocab v using (tok)
-    )
-    select doc_id,
-           count(*)::bigint as n_tokens,
-           ((1000 * sum(sbits)) // count(*))::bigint as mean_surprisal_millibits,
-           max(sbits)::bigint as max_surprisal_bits,
-           ((1000 * sum(is_top)) // count(*))::bigint as top10_permille,
-           sum(is_oov)::bigint as oov_tokens
-    from s group by doc_id order by doc_id
+    ),
+    surp as (
+      select doc_id,
+             count(*)::bigint as n_tokens,
+             ((1000 * sum(sbits)) // count(*))::bigint as mean_surprisal_millibits,
+             max(sbits)::bigint as max_surprisal_bits,
+             ((1000 * sum(is_top)) // count(*))::bigint as top10_permille,
+             sum(is_oov)::bigint as oov_tokens
+      from s group by doc_id
+    )"""
+
+_SURPRISAL_SQL = f"""
+    with {_SURPRISAL_CTES}
+    select doc_id, n_tokens, mean_surprisal_millibits, max_surprisal_bits,
+           top10_permille, oov_tokens
+    from surp order by doc_id
 """
 
 
@@ -1949,4 +1961,140 @@ def source_vocab_novelty(spark, sf_dir):
             .alias("novelty_permille"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality buckets + PII scrub accounting
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = f"""
+    with {_SURPRISAL_CTES},
+    ranked as (
+      select p.doc_id, d.lang, p.mean_surprisal_millibits as score,
+             row_number() over (partition by d.lang
+                                order by p.mean_surprisal_millibits, p.doc_id)
+               as rn,
+             count(*) over (partition by d.lang) as n
+      from surp p join documents d using (doc_id)
+    )
+    select doc_id, lang, score,
+           case when rn * 3 <= n then 'head'
+                when rn * 3 <= 2 * n then 'middle'
+                else 'tail' end as bucket
+    from ranked order by doc_id
+"""
+
+
+@_q("perplexity_bucket_assign", _BUCKET_SQL)
+def perplexity_bucket_assign(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020) on the
+    integer surprisal score: within each language stratum, docs are
+    ranked by :func:`unigram_surprisal`'s mean_surprisal_millibits
+    (ties broken by doc_id) and cut at exact integer terciles —
+    ``head`` = most-fluent third (lowest surprisal), ``tail`` = the
+    third a mixing recipe downsamples or drops.  Rank-based cuts, not
+    value thresholds, so the split is calibration-free and stable as
+    the corpus grows; all-integer, hash-portable.
+
+    Scale shape: the surprisal pass (see :func:`unigram_surprisal`) +
+    one window over (lang) — a per-stratum shuffle where the heaviest
+    stratum is one language's docs, the same bounded-skew shape as
+    token_shard_assign/length_quantiles.  At 100 TB the rank window
+    would swap to the two-pass nearest-rank threshold computation
+    (length_quantiles' production note); the rank rule itself is
+    unchanged."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    surp = unigram_surprisal(spark, sf_dir).select(
+        "doc_id", F.col("mean_surprisal_millibits").alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = (
+        surp.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+#: PII patterns (email / phone-like digit run / IPv4), intersection of
+#: Java-regex and RE2 syntax (no backrefs, no lookaround) so Spark and
+#: DuckDB match identically.  The phone pattern requires a digit at both
+#: ends with >= 6 digit/space/dash/paren chars between — loose on
+#: purpose: a scrubber over-redacts rather than leaks.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@_q(
+    "pii_scrub_stats",
+    f"""
+    with r as (
+      select doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}'))::bigint as n_emails,
+             len(regexp_extract_all(text, '{_PII_IPV4}'))::bigint as n_ipv4,
+             regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '', 'g'),
+                            '{_PII_IPV4}', '', 'g') as t2,
+             length(text)::bigint as len_text
+      from documents
+    )
+    select doc_id, n_emails,
+           len(regexp_extract_all(t2, '{_PII_PHONE}'))::bigint as n_phones,
+           n_ipv4, len_text,
+           length(regexp_replace(t2, '{_PII_PHONE}', '', 'g'))::bigint
+             as len_redacted
+    from r order by doc_id
+    """,
+)
+def pii_scrub_stats(spark, sf_dir):
+    """PII scrub accounting — the redaction pass every public-webtext
+    release runs (emails, phone-like digit runs, IPv4 addresses) as a
+    per-doc stats query: match counts per category plus the post-scrub
+    length, so ``len_text - len_redacted`` is exactly the character
+    mass a real scrub would remove.  Email and IPv4 are counted on the
+    raw text; the looser phone pattern is counted AFTER those spans are
+    removed so one literal never double-counts (an IP is also a
+    phone-shaped digit run).  Patterns stay in the Java-regex ∩ RE2
+    intersection, so both engines produce identical matches.
+
+    Scale shape: a pure per-row projection — no shuffle, no UDF, whole
+    rows never leave the JVM; at 100 TB this fuses into whatever scan
+    feeds it (the same WholeStageCodegen span as the quality scores)."""
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, ""), _PII_IPV4, ""
+    )
+    r = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        t2.alias("t2"),
+        F.length("text").cast("long").alias("len_text"),
+    )
+    return r.select(
+        "doc_id",
+        "n_emails",
+        F.size(F.regexp_extract_all("t2", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        "n_ipv4",
+        "len_text",
+        F.length(F.regexp_replace(F.col("t2"), _PII_PHONE, ""))
+        .cast("long")
+        .alias("len_redacted"),
+    ).select(
+        "doc_id", "n_emails", "n_phones", "n_ipv4", "len_text", "len_redacted"
     )

@@ -118,3 +118,31 @@ def test_production_cap_bounds_pairs():
     assert _IVF_BUCKET_CAP == 8 * _IVF_TARGET_BUCKET
     worst_pairs_per_bucket = _IVF_BUCKET_CAP * (_IVF_BUCKET_CAP - 1) // 2
     assert worst_pairs_per_bucket < 500_000
+
+
+def test_dedup_containment_asymmetric_hand_case(spark, tmp_path):
+    """A small doc fully inside a much larger one: containment 1.0 while
+    jaccard stays under the 0.5 dedup threshold — the relation
+    dedup_ngram_jaccard structurally cannot report."""
+    from geocrawl_spark.queries_ml import dedup_containment, dedup_ngram_jaccard
+
+    small = "w0 w1 w2 w3 w4 w5"  # 4 distinct shingles
+    big = " ".join(f"w{i}" for i in range(20))  # 18 shingles, contains all 4
+    other = "q0 q1 q2 q3 q4"
+    df = spark.createDataFrame(
+        [
+            (0, small, "en", "src0", len(small)),
+            (1, big, "en", "src1", len(big)),
+            (2, other, "en", "src2", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    got = {(r["doc_sub"], r["doc_sup"]): r for r in dedup_containment(spark, sf).collect()}
+    assert set(got) == {(0, 1)}  # only the contained direction fires
+    assert got[(0, 1)]["containment_ppm"] == 1_000_000
+    # i=4, union=18 -> jaccard 4/18 = 0.2222 < 0.5
+    assert got[(0, 1)]["jaccard_ppm"] == (1_000_000 * 4) // 18
+    assert dedup_ngram_jaccard(spark, sf).count() == 0

@@ -604,3 +604,82 @@ def test_source_vocab_novelty_hand_case(spark, tmp_path):
     assert got["src1"]["novelty_permille"] == 500
     assert got["src2"]["n_vocab"] == 12 and got["src2"]["n_unique"] == 12
     assert got["src2"]["novelty_permille"] == 1000
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style buckets + PII scrub stats
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_bucket_assign_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import perplexity_bucket_assign
+
+    # en scores (millibits): 1000 < 1750 < 2500 < 3250 < 4000 = 4000
+    # (tie between d4/d5 broken by doc_id); de: 3000 < 3500 < 4000
+    rows = [
+        ("a a a a", "en"),
+        ("a a a b1", "en"),
+        ("a a b2 b3", "en"),
+        ("a b4 b5 b6", "en"),
+        ("b7 b8 b9 b10", "en"),
+        ("b11 b12 b13 b14", "en"),
+        ("x x", "de"),
+        ("x y1", "de"),
+        ("y2 y3", "de"),
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in perplexity_bucket_assign(spark, sf).collect()}
+    assert [got[i]["bucket"] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+    assert got[4]["score"] == got[5]["score"] == 4000  # doc_id tie-break
+    assert [got[i]["bucket"] for i in (6, 7, 8)] == ["head", "middle", "tail"]
+    assert got[6]["lang"] == "de" and got[6]["score"] == 3000
+
+
+def test_pii_scrub_stats_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import pii_scrub_stats
+
+    d0 = "contact bob@example.com or alice.smith@mail.co.uk thanks"
+    d1 = "server 192.168.0.1 call 555-123-4567 now"
+    d2 = "no pii here at all"
+    d3 = "+1 (415) 555 2671 is mine"
+    sf = _docs_dir(
+        spark, tmp_path, [(d0, "en"), (d1, "en"), (d2, "en"), (d3, "en")]
+    )
+    got = {r["doc_id"]: r for r in pii_scrub_stats(spark, sf).collect()}
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["n_ipv4"]) == (2, 0, 0)
+    assert got[0]["len_redacted"] == len("contact  or  thanks")
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ipv4"]) == (0, 1, 1)
+    assert got[1]["len_redacted"] == len("server  call  now")
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ipv4"]) == (0, 0, 0)
+    assert got[2]["len_redacted"] == got[2]["len_text"] == len(d2)
+    assert got[3]["n_phones"] == 1
+    assert got[3]["len_redacted"] == len(" is mine")
+
+
+def test_pii_scrub_stats_cross_engine(spark, tmp_path):
+    """The sf corpora contain no PII, so the driver's oracle row for
+    pii_scrub_stats is all-zeros; this pins Spark (Java regex) ==
+    DuckDB (RE2) on docs where the patterns actually FIRE."""
+    import duckdb
+
+    from geocrawl_spark.queries_pipeline import pii_scrub_stats
+    from __spark_entry__ import oracle_sql
+
+    rows = [
+        ("contact bob@example.com or alice.smith@mail.co.uk thanks", "en"),
+        ("server 192.168.0.1 call 555-123-4567 now", "en"),
+        ("no pii here at all", "en"),
+        ("+1 (415) 555 2671 is mine", "de"),
+        ("a a 10.0.0.255 b@c.io overlap 8 800 123 4567 x", "de"),
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = sorted(tuple(r) for r in pii_scrub_stats(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    want = sorted(con.execute(oracle_sql()["pii_scrub_stats"]).fetchall())
+    assert got == want
