@@ -2098,3 +2098,230 @@ def pii_scrub_stats(spark, sf_dir):
     ).select(
         "doc_id", "n_emails", "n_phones", "n_ipv4", "len_text", "len_redacted"
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities + bucket-weighted mixture sampling
+# ---------------------------------------------------------------------------
+
+#: HITS power iterations; like PageRank the count is FIXED (fixed plan
+#: depth, no driver-side convergence loop) and the score vectors are
+#: held as integer millionths with L1 normalization by floor division —
+#: bit-identical across engines, no float summation anywhere.
+_HITS_ITERS = 3
+
+
+def _hits_sql() -> str:
+    """CTE chain h0, a1r, a1, h1r, h1, ... — the DuckDB twin of
+    :func:`hits_integer` over the :func:`_host_edges_sql` graph."""
+    s = _PR_SCALE
+    ctes = [
+        f"h0 as (select host, ({s} // (select count(*) from hosts))::bigint"
+        " as h from hosts)"
+    ]
+    prev = "h0"
+    for k in range(1, _HITS_ITERS + 1):
+        ctes.append(
+            f"a{k}r as (select e.v as host, sum(p.h)::bigint as x"
+            f" from e join {prev} p on e.u = p.host group by 1)"
+        )
+        ctes.append(
+            f"a{k} as (select hosts.host,"
+            f" coalesce((x * {s}) // (select sum(x) from a{k}r), 0)::bigint as a"
+            f" from hosts left join a{k}r using (host))"
+        )
+        ctes.append(
+            f"h{k}r as (select e.u as host, sum(q.a)::bigint as x"
+            f" from e join a{k} q on e.v = q.host group by 1)"
+        )
+        ctes.append(
+            f"h{k} as (select hosts.host,"
+            f" coalesce((x * {s}) // (select sum(x) from h{k}r), 0)::bigint as h"
+            f" from hosts left join h{k}r using (host))"
+        )
+        prev = f"h{k}"
+    return ",\n    ".join(ctes)
+
+
+@_q(
+    "host_hits",
+    f"""
+    with {_host_edges_sql().strip().rstrip()},
+    {_hits_sql()}
+    select hosts.host,
+           round(a{_HITS_ITERS}.a / {_PR_SCALE}.0, 6) as authority,
+           round(h{_HITS_ITERS}.h / {_PR_SCALE}.0, 6) as hub
+    from hosts
+      join a{_HITS_ITERS} using (host)
+      join h{_HITS_ITERS} using (host)
+    order by host
+    """,
+)
+def host_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over the host link
+    graph — the second classic graph prioritization signal next to
+    :func:`host_pagerank`, and the one a crawl scheduler actually wants
+    for DISCOVERY: a high-hub host (links to many good hosts) is where
+    new frontier comes from, while PageRank only says who is pointed
+    at.  Score vectors are integer millionths with L1 normalization by
+    floor division every half-step, so both engines iterate identical
+    integers (the host_pagerank portability rule; HITS' usual L2 norm
+    would drag a sqrt into the fixed point).
+
+    Scale shape: per half-iteration one equi-join flow + groupBy(host)
+    sum plus a 1-row normalization agg broadcast back in — the rank
+    vector is |hosts| rows, broadcastable at any realistic host count;
+    fixed _HITS_ITERS keeps plan depth constant."""
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    m = F.col("doc_id") % 20
+    tgt = lambda poly: F.concat(F.lit("src"), poly.cast("string"))  # noqa: E731
+    edges = (
+        d.select(F.col("source").alias("u"), tgt((m * m + 3) % 20).alias("v"))
+        .unionByName(
+            d.select(F.col("source").alias("u"), tgt((m * m * m + 11) % 20).alias("v"))
+        )
+        .distinct()
+    )
+    return hits_integer(hosts, edges)
+
+
+def hits_integer(
+    hosts: DataFrame, edges: DataFrame, iters: int = _HITS_ITERS
+) -> DataFrame:
+    """Reusable integer HITS core: ``hosts(host)``, ``edges(u, v)`` ->
+    ``(host, authority, hub)`` — usable on the engine's REAL logged link
+    graph exactly like :func:`pagerank_integer`
+    (``CrawlEngine(log_links=True)`` -> ``host_link_graph()`` -> here)."""
+    s = _PR_SCALE
+    nn = hosts.agg(F.count("*").cast("long").alias("nn"))
+    h = hosts.crossJoin(F.broadcast(nn)).select(
+        "host", F.expr(f"{s} div nn").cast("long").alias("h")
+    )
+    a = None
+    for _ in range(iters):
+        ar = (
+            edges.join(h.withColumnRenamed("host", "u"), "u")
+            .groupBy(F.col("v").alias("host"))
+            .agg(F.sum("h").cast("long").alias("x"))
+        )
+        tot_a = ar.agg(F.sum("x").cast("long").alias("s"))
+        a = (
+            hosts.join(ar, "host", "left")
+            .crossJoin(F.broadcast(tot_a))
+            .select(
+                "host",
+                F.coalesce(F.expr(f"(x * {s}) div s"), F.lit(0))
+                .cast("long")
+                .alias("a"),
+            )
+        )
+        hr = (
+            edges.join(a.withColumnRenamed("host", "v"), "v")
+            .groupBy(F.col("u").alias("host"))
+            .agg(F.sum("a").cast("long").alias("x"))
+        )
+        tot_h = hr.agg(F.sum("x").cast("long").alias("s"))
+        h = (
+            hosts.join(hr, "host", "left")
+            .crossJoin(F.broadcast(tot_h))
+            .select(
+                "host",
+                F.coalesce(F.expr(f"(x * {s}) div s"), F.lit(0))
+                .cast("long")
+                .alias("h"),
+            )
+        )
+    return (
+        hosts.join(a, "host")
+        .join(h, "host")
+        .select(
+            "host",
+            F.round(F.col("a") / s, 6).alias("authority"),
+            F.round(F.col("h") / s, 6).alias("hub"),
+        )
+    )
+
+
+#: per-bucket keep rates for the final mixing decision (CCNet keeps the
+#: head outright, downsamples the middle, and nearly drops the tail).
+_QMIX_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+_QMIX_SALT = "qmix1|"
+
+
+@_q(
+    "quality_mixture_sample",
+    f"""
+    with {_SURPRISAL_CTES},
+    ranked as (
+      select p.doc_id, d.lang, p.mean_surprisal_millibits as score,
+             row_number() over (partition by d.lang
+                                order by p.mean_surprisal_millibits, p.doc_id)
+               as rn,
+             count(*) over (partition by d.lang) as n
+      from surp p join documents d using (doc_id)
+    ),
+    b as (
+      select doc_id, lang,
+             case when rn * 3 <= n then 'head'
+                  when rn * 3 <= 2 * n then 'middle'
+                  else 'tail' end as bucket
+      from ranked
+    )
+    select doc_id, lang, bucket,
+           (case when bucket = 'head' then 1
+                 when substr(md5('{_QMIX_SALT}' || doc_id::varchar), 1, 8)
+                      < (case bucket
+                         when 'middle' then '{_rate_hex(_QMIX_RATES["middle"])}'
+                         else '{_rate_hex(_QMIX_RATES["tail"])}' end)
+                 then 1 else 0 end)::bigint as kept
+    from b order by doc_id
+    """,
+)
+def quality_mixture_sample(spark, sf_dir):
+    """The final mixing decision of a CCNet-style pipeline, composed
+    from the pieces above: every doc gets its
+    :func:`perplexity_bucket_assign` tercile, then a deterministic
+    md5-threshold draw (:func:`stratified_sample_hash`'s rule) keeps the
+    head outright, half the middle, and a tenth of the tail.  ``kept``
+    is emitted for EVERY doc (not filtered) so the decision itself is
+    auditable — the oracle hash covers kept=0 rows too.  Stable under
+    corpus growth within a bucket; bucket boundaries move only as the
+    stratum's rank distribution does.
+
+    Scale shape: the bucket pass (surprisal + one per-lang window) plus
+    a pure per-row hash draw — nothing new shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    surp = unigram_surprisal(spark, sf_dir).select(
+        "doc_id", F.col("mean_surprisal_millibits").alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    b = (
+        surp.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("rn") * 3 <= F.col("n"), "head")
+            .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    hx = F.substring(
+        F.md5(F.concat(F.lit(_QMIX_SALT), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thr = F.when(
+        F.col("bucket") == "middle", F.lit(_rate_hex(_QMIX_RATES["middle"]))
+    ).otherwise(F.lit(_rate_hex(_QMIX_RATES["tail"])))
+    return b.select(
+        "doc_id",
+        "lang",
+        "bucket",
+        F.when(F.col("bucket") == "head", F.lit(1))
+        .when(hx < thr, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )

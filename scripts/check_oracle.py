@@ -72,6 +72,25 @@ def main():
             res = con.execute(osql[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            # the DRIVER compares pandas materializations: a DuckDB
+            # HUGEINT (e.g. un-cast sum(BIGINT)) silently becomes
+            # float64 in fetchdf() and hashes 12.0 vs Spark's 12 even
+            # when fetchall() values agree — the round-4
+            # hyperplane_bucket_stats failure mode.  Flag it here.
+            ddf = con.execute(osql[name]).fetchdf()
+            sdt = dict(zip(sdf.schema.names, (f.dataType.simpleString() for f in sdf.schema.fields)))
+            drift = [
+                c
+                for c, dt in ddf.dtypes.astype(str).items()
+                if dt.startswith("float")
+                and sdt.get(c) in ("bigint", "int", "smallint", "tinyint")
+            ]
+            if drift:
+                print(f"FAIL {name}: oracle col(s) {drift} materialize as "
+                      "float in pandas but are integral in Spark — add a "
+                      "::BIGINT cast in the oracle SQL")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

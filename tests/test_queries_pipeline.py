@@ -683,3 +683,45 @@ def test_pii_scrub_stats_cross_engine(spark, tmp_path):
     )
     want = sorted(con.execute(oracle_sql()["pii_scrub_stats"]).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# HITS + bucket-weighted mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hits_integer_star_graph(spark):
+    """k spokes all linking one hub-target: the target takes ALL
+    authority mass; the spokes split hub mass evenly; the target's own
+    hub score is 0 (it links nowhere)."""
+    from geocrawl_spark.queries_pipeline import hits_integer
+
+    hosts = spark.createDataFrame(
+        [("a",), ("s1",), ("s2",), ("s3",), ("s4",)], "host string"
+    )
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s2", "a"), ("s3", "a"), ("s4", "a")], "u string, v string"
+    )
+    got = {r["host"]: r for r in hits_integer(hosts, edges).collect()}
+    assert got["a"]["authority"] == 1.0 and got["a"]["hub"] == 0.0
+    for sp in ("s1", "s2", "s3", "s4"):
+        assert got[sp]["authority"] == 0.0
+        assert got[sp]["hub"] == 0.25
+
+
+def test_quality_mixture_sample_rates(spark):
+    """head is kept outright; middle/tail keep-rates land near 0.5/0.1
+    (md5 draw over ~167 docs per en bucket at sf0.01); kept is emitted
+    for every doc."""
+    from geocrawl_spark.queries_pipeline import quality_mixture_sample
+
+    rows = quality_mixture_sample(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["kept"])
+    assert set(by_bucket["head"]) == {1}
+    mid = sum(by_bucket["middle"]) / len(by_bucket["middle"])
+    tail = sum(by_bucket["tail"]) / len(by_bucket["tail"])
+    assert 0.35 <= mid <= 0.65, mid
+    assert 0.0 <= tail <= 0.25, tail
