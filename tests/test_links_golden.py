@@ -74,3 +74,26 @@ def test_real_edge_pagerank(runs):
     # deterministic: a second evaluation is bit-identical
     again = {r["host"]: r["pagerank"] for r in pagerank_integer(hosts, g).collect()}
     assert rows == again
+
+
+def test_real_edge_hits(runs):
+    """hits_integer over the engine's REAL logged link graph: L1 mass
+    invariants (each score vector sums to <= 1.0, floor leakage only),
+    positivity where expected, and bit-identical re-evaluation."""
+    from geocrawl_spark.queries_pipeline import hits_integer
+
+    eng, _ = runs
+    g = host_link_graph(eng.spark, eng.io)
+    hosts = (
+        g.select("u").union(g.select("v")).distinct().withColumnRenamed("u", "host")
+    )
+    rows = {r["host"]: r for r in hits_integer(hosts, g).collect()}
+    assert len(rows) > 0
+    assert sum(r["authority"] for r in rows.values()) <= 1.0 + 1e-9
+    assert sum(r["hub"] for r in rows.values()) <= 1.0 + 1e-9
+    assert any(r["authority"] > 0 for r in rows.values())
+    assert any(r["hub"] > 0 for r in rows.values())
+    again = {r["host"]: r for r in hits_integer(hosts, g).collect()}
+    assert {h: (r["authority"], r["hub"]) for h, r in rows.items()} == {
+        h: (r["authority"], r["hub"]) for h, r in again.items()
+    }

@@ -146,3 +146,17 @@ def test_dedup_containment_asymmetric_hand_case(spark, tmp_path):
     # i=4, union=18 -> jaccard 4/18 = 0.2222 < 0.5
     assert got[(0, 1)]["jaccard_ppm"] == (1_000_000 * 4) // 18
     assert dedup_ngram_jaccard(spark, sf).count() == 0
+
+
+def test_dedup_containment_bounds(spark):
+    """Invariants at sf0.01: containment >= jaccard on every emitted
+    row (|A∩B|/|A| >= |A∩B|/|A∪B| always), ppm values in range, and
+    the directed pair respects the report threshold."""
+    from geocrawl_spark.queries_ml import _CONTAIN_PPM, dedup_containment
+
+    rows = dedup_containment(spark, SF01).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert _CONTAIN_PPM <= r["containment_ppm"] <= 1_000_000
+        assert 0 < r["jaccard_ppm"] <= r["containment_ppm"]
+        assert r["doc_sub"] != r["doc_sup"]
