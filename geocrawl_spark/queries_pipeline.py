@@ -2325,3 +2325,120 @@ def quality_mixture_sample(spark, sf_dir):
         .cast("long")
         .alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering: hashed linear classifier (fasttext shape)
+# ---------------------------------------------------------------------------
+
+#: weight-table modulus: a feature's hashed weight lands in [0, 2000]
+#: integer millis, mean 1000 — the per-doc mean is centered by 1000*1000
+#: after the floor division so the keep/drop threshold sits at 0 without
+#: any signed division (Spark `div` truncates toward zero while negative
+#: floor semantics differ across engines; everything here stays
+#: non-negative until a plain subtraction).
+_CLF_W_MOD = 2001
+_CLF_HEX_W = (4096, 256, 16, 1)
+
+
+def _hexval_sql(expr: str) -> str:
+    """DuckDB hex-digit value of a single lowercase hex char via ascii()
+    (portable with Spark's — no conv()/from_hex dependency)."""
+    return f"(ascii({expr}) - 48 - case when ascii({expr}) >= 97 then 39 else 0 end)"
+
+
+def _clf_weight_sql(m: str) -> str:
+    """Integer weight from the first 4 hex chars of md5 column ``m``."""
+    h = " + ".join(
+        f"{_hexval_sql(f'substr({m}, {i + 1}, 1)')} * {w}" if w > 1
+        else _hexval_sql(f"substr({m}, {i + 1}, 1)")
+        for i, w in enumerate(_CLF_HEX_W)
+    )
+    return f"(({h}) % {_CLF_W_MOD})"
+
+
+_CLF_SQL = f"""
+    with f as (
+      select doc_id,
+             unnest(list_concat(string_split(text, ' '), {_grams_sql(2)})) as feat
+      from documents
+    ),
+    w as (
+      select doc_id, {_clf_weight_sql("md5(feat)")}::bigint as wgt from f
+    )
+    select doc_id,
+           count(*)::bigint as n_feats,
+           (((1000 * sum(wgt)) // count(*)) - 1000000)::bigint as score_milli,
+           case when ((1000 * sum(wgt)) // count(*)) >= 1000000
+                then 'keep' else 'drop' end as label
+    from w group by doc_id order by doc_id
+"""
+
+
+def _hexval_expr(c):
+    a = F.ascii(c)
+    return a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
+
+
+def _clf_weight_expr(x):
+    """Hashed feature weight: value of md5(x)'s first 4 hex chars mod
+    _CLF_W_MOD — pure column functions, legal inside a higher-order
+    lambda, bit-identical to :func:`_clf_weight_sql`."""
+    m = F.md5(x)
+    h = sum(
+        _hexval_expr(F.substring(m, i + 1, 1)) * w if w > 1
+        else _hexval_expr(F.substring(m, i + 1, 1))
+        for i, w in enumerate(_CLF_HEX_W)
+    )
+    return (h % _CLF_W_MOD).cast("long")
+
+
+@_q("quality_classifier_score", _CLF_SQL)
+def quality_classifier_score(spark, sf_dir):
+    """Model-based quality filtering in the fasttext shape (Joulin et
+    al., "Bag of Tricks for Efficient Text Classification" — the
+    architecture behind CCNet's language filter and the LLaMA-style
+    wiki-reference quality classifier): features are word unigrams +
+    bigrams hashed into a bounded weight table, the doc score is the
+    mean feature weight, and the keep/drop gate is a fixed threshold on
+    that score.  The container ships no trained model, so the weight
+    table is a DETERMINISTIC STAND-IN (md5-derived — loudly labeled,
+    like the fake-GDAL decode): every structural component a trained
+    classifier needs — tokenize -> n-gram -> feature-hash -> weight
+    lookup -> linear fold -> threshold — is real, integer-exact, and
+    verified against the DuckDB twin on both keep and drop rows.
+    Swapping in trained weights = replacing :func:`_clf_weight_expr`
+    with a broadcast ``map(feature_bucket -> weight)`` lookup; nothing
+    else changes.
+
+    Scale shape: a pure per-row projection — tokenize once (projected
+    ``ws``, the tokenize-once rule), build bigrams by slice+concat, and
+    fold the hashed weights with ``F.aggregate`` INSIDE the row.  No
+    explode, no shuffle, no UDF: the whole operator is one
+    WholeStageCodegen span over the scan, which is what lets it run at
+    100 TB as a side effect of whatever pass already reads the text
+    (the oracle's unnest+groupBy states the same math relationally)."""
+    d = _t(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.split("text", " ").alias("ws"))
+    fd = dw.select(
+        "doc_id",
+        F.concat(F.col("ws"), _grams_expr(F.col("ws"), 2)).alias("feats"),
+    )
+    agg = fd.select(
+        "doc_id",
+        F.size("feats").cast("long").alias("n_feats"),
+        F.aggregate(
+            "feats",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + _clf_weight_expr(x),
+        ).alias("swgt"),
+    )
+    mean_milli = F.expr("(1000 * swgt) div n_feats")
+    return agg.select(
+        "doc_id",
+        "n_feats",
+        (mean_milli - 1000000).cast("long").alias("score_milli"),
+        F.when(mean_milli >= 1000000, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

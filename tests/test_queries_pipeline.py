@@ -725,3 +725,54 @@ def test_quality_mixture_sample_rates(spark):
     tail = sum(by_bucket["tail"]) / len(by_bucket["tail"])
     assert 0.35 <= mid <= 0.65, mid
     assert 0.0 <= tail <= 0.25, tail
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def _py_clf_weight(feat: str) -> int:
+    """Python recomputation of _clf_weight_expr for hand cases."""
+    import hashlib
+
+    return int(hashlib.md5(feat.encode()).hexdigest()[:4], 16) % 2001
+
+
+def test_quality_classifier_hand_case(spark, tmp_path):
+    """Single- and three-word docs: feature set is words + bigrams, the
+    score is the centered integer mean of the md5-derived weights —
+    recomputed independently in plain Python here."""
+    from geocrawl_spark.queries_pipeline import quality_classifier_score
+
+    rows = [("alpha", "en"), ("alpha beta gamma", "en")]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in quality_classifier_score(spark, sf).collect()}
+
+    w_a = _py_clf_weight("alpha")
+    assert got[0]["n_feats"] == 1
+    assert got[0]["score_milli"] == 1000 * w_a - 1000000
+    assert got[0]["label"] == ("keep" if 1000 * w_a >= 1000000 else "drop")
+
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    s = sum(_py_clf_weight(f) for f in feats)
+    assert got[1]["n_feats"] == 5
+    assert got[1]["score_milli"] == (1000 * s) // 5 - 1000000
+    assert got[1]["label"] == (
+        "keep" if (1000 * s) // 5 >= 1000000 else "drop"
+    )
+
+
+def test_quality_classifier_both_labels_fire(spark):
+    """At sf0.01 both keep and drop decisions occur (the threshold sits
+    inside the score distribution, not past its tails) and every score
+    respects the [-10^6, 10^6] bound of a [0, 2000]-milli weight mean."""
+    from geocrawl_spark.queries_pipeline import quality_classifier_score
+
+    rows = quality_classifier_score(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    labels = {r["label"] for r in rows}
+    assert labels == {"keep", "drop"}
+    for r in rows:
+        assert -1000000 <= r["score_milli"] <= 1000000
+        assert (r["label"] == "keep") == (r["score_milli"] >= 0)
