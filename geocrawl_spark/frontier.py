@@ -157,6 +157,9 @@ class CrawlEngine:
         log_links: bool = False,
         adaptive_budget: bool = False,
         quality_rank: bool = False,
+        trap_guard: bool = False,
+        trap_fanout: int = 2,
+        trap_depth: int = 3,
     ):
         self.spark = spark
         #: Caching the pages corpus is OPT-IN (small-corpus / test / bench
@@ -241,6 +244,29 @@ class CrawlEngine:
                 "prioritization policies"
             )
         self.quality_rank = quality_rank
+        #: Opt-in SPIDER-TRAP quarantine (crawl hygiene — the engine half
+        #: of queries_pipeline.spider_trap_hosts' corpus-level heuristic):
+        #: a host whose cumulative discoveries look auto-generated —
+        #: n_disc >= trap_fanout * n_fetched AND a discovery was seen at
+        #: depth >= trap_depth (calendars / faceted search / session-id
+        #: url spaces fan out faster and deeper than hand-authored
+        #: content) — has its effective budget QUARANTINED to 1 fetch per
+        #: round from the next round on.  Quarantine, not exclusion: the
+        #: crawl still drains every admitted url eventually (final seen
+        #: set / fetched set are unchanged), the trap host just stops
+        #: monopolizing its budget share.  Deterministic integer rule,
+        #: twinned in pyref.PyRefCrawl(trap_guard=True); the cumulative
+        #: per-host (n_fetched, n_disc, max_depth) stats persist as the
+        #: ``hosttrap`` table every round (incl. refresh commits — the
+        #: hosterr lesson), so a resumed engine continues identically.
+        self.trap_guard = trap_guard
+        if trap_guard and (trap_fanout < 1 or trap_depth < 1):
+            # trap_depth >= 1: hosts that were only ever fetched (never
+            # discovered on) carry max_depth = 0 — a 0 threshold would
+            # quarantine them the moment the fan-out test fires
+            raise ValueError("trap_fanout and trap_depth must be >= 1")
+        self.trap_fanout = trap_fanout
+        self.trap_depth = trap_depth
         #: Opt-in link-graph logging: per round, persist every extracted
         #: (src_url, dst_url, kind) edge as a `links` table — the input
         #: to host_link_graph() -> queries_pipeline.pagerank_integer ->
@@ -351,7 +377,10 @@ class CrawlEngine:
         return self.spark.createDataFrame([], "host string, carry long")
 
     def _effective_budget(
-        self, carry: DataFrame, err: DataFrame | None = None
+        self,
+        carry: DataFrame,
+        err: DataFrame | None = None,
+        trap: DataFrame | None = None,
     ) -> DataFrame:
         """(host, budget) with residual carry applied (SURVEY H1: a host
         that under-used its budget in round k gets the leftover — capped
@@ -361,7 +390,13 @@ class CrawlEngine:
         ``err`` (adaptive mode): last round's (host, popped, missing)
         stats; a majority-missing host's base is halved (floor, min 1)
         BEFORE carry — the carry cap in :meth:`_new_carry` stays the
-        ORIGINAL base, mirroring pyref exactly."""
+        ORIGINAL base, mirroring pyref exactly.
+
+        ``trap`` (trap-guard mode): tiny (host, trapped) dimension of
+        quarantined hosts; a trapped host's budget is forced to 1
+        LAST — after halving, carry, and the crawl-delay cap — so the
+        quarantine binds regardless of accumulated credit (pyref applies
+        the same final override)."""
         base = self.hostbudget.select(
             "host", F.col("budget").alias("_base")
         )
@@ -382,16 +417,19 @@ class CrawlEngine:
         joined = base.join(carry, "host", "full")
         if err is not None:
             joined = joined.join(err, "host", "full")
-        return (
-            joined
-            .join(self.robots.select("host", "crawl_delay"), "host", "full")
-            .select(
-                "host",
-                F.least(uncapped, F.coalesce(delay_cap, uncapped))
-                .cast("long")
-                .alias("budget"),
-            )
-        )
+        budget = F.least(uncapped, F.coalesce(delay_cap, uncapped))
+        if trap is not None:
+            budget = F.when(
+                F.coalesce(F.col("trapped"), F.lit(False)), F.lit(1)
+            ).otherwise(budget)
+        joined = joined.join(self.robots.select("host", "crawl_delay"), "host", "full")
+        if trap is not None:
+            # FULL join (like every other host dim here): a trapped host
+            # absent from hostbudget/carry/robots must still surface, or
+            # pop_batch's DEFAULT_BUDGET coalesce would bypass the
+            # quarantine (pyref overrides every pending host)
+            joined = joined.join(trap, "host", "full")
+        return joined.select("host", budget.cast("long").alias("budget"))
 
     def _new_carry(self, pend_h: DataFrame, done_h: DataFrame, eff: DataFrame) -> DataFrame:
         """carry' = min(effective_budget - popped, base_budget), kept only
@@ -425,6 +463,71 @@ class CrawlEngine:
             F.least(
                 F.lit(pol.PRIO_RANK_MAX), F.expr("sum_chars div n_docs")
             ).cast("long").alias("rank"),
+        )
+
+    def _trap_dim(self, prev_trap: DataFrame) -> DataFrame:
+        """(host, trapped=true) rows for hosts whose cumulative stats
+        through the previous round trip the quarantine rule: at least one
+        fetch, discoveries >= trap_fanout x fetches, and a discovery seen
+        at depth >= trap_depth.  One row per trapped host, folded into
+        the tiny per-host budget dimension."""
+        return (
+            prev_trap.filter(
+                (F.col("n_fetched") >= 1)
+                & (F.col("n_disc") >= F.lit(self.trap_fanout) * F.col("n_fetched"))
+                & (F.col("max_depth") >= self.trap_depth)
+            )
+            .select("host", F.lit(True).alias("trapped"))
+        )
+
+    def _trap_update(
+        self,
+        prev_trap: DataFrame | None,
+        flagged: DataFrame,
+        done_h: DataFrame | None,
+    ) -> DataFrame:
+        """hosttrap' = hosttrap + this round's per-host contributions:
+        fetched-page counts (``done_h``, hosts attributed by the FETCHED
+        url) and fresh pending page discoveries (``flagged``, attributed
+        by the DISCOVERED url's host — a trap fills its own url space).
+        Tiny per-host aggregates over already-persisted inputs; the
+        fast-path empty ``flagged`` / absent ``done_h`` degenerate to a
+        carry-forward."""
+        disc = (
+            flagged.filter((F.col("kind") == "page") & ~F.col("denied"))
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("d_n"),
+                F.max("depth").alias("d_md"),
+            )
+        )
+        out = disc.select(
+            "host",
+            F.lit(0).cast("long").alias("f_n"),
+            F.col("d_n").cast("long"),
+            F.col("d_md").cast("long"),
+        )
+        if done_h is not None:
+            fet = done_h.select(
+                "host",
+                F.col("n_fetched").cast("long").alias("f_n"),
+                F.lit(0).cast("long").alias("d_n"),
+                F.lit(0).cast("long").alias("d_md"),
+            )
+            out = out.unionByName(fet)
+        if prev_trap is not None:
+            out = out.unionByName(
+                prev_trap.select(
+                    "host",
+                    F.col("n_fetched").alias("f_n"),
+                    F.col("n_disc").alias("d_n"),
+                    F.col("max_depth").alias("d_md"),
+                )
+            )
+        return out.groupBy("host").agg(
+            F.sum("f_n").cast("long").alias("n_fetched"),
+            F.sum("d_n").cast("long").alias("n_disc"),
+            F.max("d_md").cast("long").alias("max_depth"),
         )
 
     def _frontier_rows(
@@ -531,6 +634,18 @@ class CrawlEngine:
                         0,
                     )
                 )
+            if self.trap_guard:
+                # round 0's admitted seeds ARE discoveries (depth 0, no
+                # fetch source) — seed the cumulative trap stats from
+                # them so round 1's hosttrap read always resolves
+                writes.append(
+                    pool.submit(
+                        self.io.write_table,
+                        self._trap_update(None, flagged, None),
+                        "hosttrap",
+                        0,
+                    )
+                )
             for w in writes:
                 w.result()  # propagate failures BEFORE the commit point
             # AFTER the flagged-scanning writes: the abucket append's
@@ -540,7 +655,7 @@ class CrawlEngine:
         self.io.commit_round(
             0,
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
-             "crawl_log", "hosterr", "hostqual"],
+             "crawl_log", "hosterr", "hostqual", "hosttrap"],
         )
         for df in (flagged, *parents):
             df.unpersist()
@@ -601,7 +716,17 @@ class CrawlEngine:
             else None
         )
         rank_dim = self._quality_rank_dim(round_no)
-        eff_budget = self._effective_budget(carry, err)
+        # trap-guard quarantine input: cumulative per-host trap stats
+        # THROUGH round-1 (this round's discoveries update it for the
+        # NEXT round — same one-round feedback lag as hosterr/hostqual)
+        prev_trap = (
+            self.io.read_table(self.spark, "hosttrap", round_no - 1)
+            if self.trap_guard
+            else None
+        )
+        eff_budget = self._effective_budget(
+            carry, err, self._trap_dim(prev_trap) if self.trap_guard else None
+        )
         batch = global_sequence(
             pol.pop_batch(pending, eff_budget, self.salt),
             ["priority", "url"],
@@ -844,6 +969,20 @@ class CrawlEngine:
                 writes.append(
                     pool.submit(self.io.write_table, hosterr, "hosterr", round_no)
                 )
+            if self.trap_guard:
+                # cumulative trap stats for the next round's quarantine
+                # decision; on the empty-fetch fast path flagged is empty
+                # and done_h adds zero fetches, so this degenerates to a
+                # carry-forward — hosttrap is written EVERY round (the
+                # hosterr lesson: any per-round feedback table must be)
+                writes.append(
+                    pool.submit(
+                        self.io.write_table,
+                        self._trap_update(prev_trap, flagged, done_h),
+                        "hosttrap",
+                        round_no,
+                    )
+                )
             writes.append(
                 pool.submit(
                     self.io.write_table,
@@ -913,6 +1052,7 @@ class CrawlEngine:
              "links",  # opt-in link-graph log (declared only when written)
              "hosterr",  # opt-in adaptive-budget feedback (ditto)
              "hostqual",  # opt-in quality-feedback prioritization (ditto)
+             "hosttrap",  # opt-in spider-trap quarantine stats (ditto)
              "batch"],  # batch = global_sequence's range files (committed,
                         # so rollback cleans them — no orphan scratch dirs)
         )
@@ -1137,10 +1277,18 @@ class CrawlEngine:
                 "hostqual",
                 round_no,
             )
+        if self.trap_guard:
+            # trap-guard engines read hosttrap@round-1 unconditionally in
+            # run_round — same carry rule as hosterr/hostqual above
+            self.io.write_table(
+                self.io.read_table(self.spark, "hosttrap", r_prev),
+                "hosttrap",
+                round_no,
+            )
         self.io.commit_round(
             round_no,
             ["frontier", *self._state_tables(), "hostcarry", "hosterr",
-             "hostqual"],
+             "hostqual", "hosttrap"],
         )
         return int(n_sel)
 

@@ -59,6 +59,9 @@ class PyRefCrawl:
         host_rank: dict[str, int] | None = None,
         adaptive_budget: bool = False,
         quality_rank: bool = False,
+        trap_guard: bool = False,
+        trap_fanout: int = 2,
+        trap_depth: int = 3,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
@@ -94,6 +97,16 @@ class PyRefCrawl:
             )
         self.quality_rank = quality_rank
         self.qual: dict[str, tuple[int, int]] = {}
+        # opt-in spider-trap quarantine twin (CrawlEngine trap_guard):
+        # cumulative per-host [n_fetched, n_disc, max_depth]; the
+        # quarantine decision for round r uses stats THROUGH r-1 (the
+        # fold happens strictly AFTER the round's eff computation)
+        self.trap_guard = trap_guard
+        if trap_guard and (trap_fanout < 1 or trap_depth < 1):
+            raise ValueError("trap_fanout and trap_depth must be >= 1")
+        self.trap_fanout = trap_fanout
+        self.trap_depth = trap_depth
+        self.trap: dict[str, list[int]] = {}
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
         self.admitted: list[tuple[str, str]] = []
@@ -151,11 +164,45 @@ class PyRefCrawl:
         return rows, n_cand - len(fresh), denied_by_kind
 
     # ------------------------------------------------------------------
+    def _trap_fold(self, rows, per_host=None):
+        """Fold one round's contributions into the cumulative trap stats
+        (CrawlEngine._trap_update twin): fresh non-denied PAGE rows count
+        as discoveries attributed to the DISCOVERED url's host (a trap
+        fills its own url space); ``per_host`` fetched counts attribute
+        by the FETCHED url's host."""
+        for r in rows:
+            if r["kind"] != "page" or r["status"] != "pending":
+                continue
+            t = self.trap.setdefault(r["host"], [0, 0, 0])
+            t[1] += 1
+            t[2] = max(t[2], r["depth"])
+        if per_host:
+            for h, d in per_host.items():
+                if d["fetched"]:
+                    self.trap.setdefault(h, [0, 0, 0])[0] += d["fetched"]
+
+    def _trapped(self, host: str) -> bool:
+        """CrawlEngine._trap_dim twin: quarantine when the host has at
+        least one fetch, discoveries >= trap_fanout x fetches, and a
+        discovery was seen at depth >= trap_depth."""
+        t = self.trap.get(host)
+        return bool(
+            t
+            and t[0] >= 1
+            and t[1] >= self.trap_fanout * t[0]
+            and t[2] >= self.trap_depth
+        )
+
+    # ------------------------------------------------------------------
     def init_state(self) -> dict:
         cands: dict[str, tuple[int, str]] = {}
         for s in self.seeds:
             cands.setdefault(canonicalize_url(s.url), (0, "page"))
         rows, deduped, denied = self._admit(cands, 0)
+        if self.trap_guard:
+            # round 0's admitted seeds ARE discoveries (depth 0, no
+            # fetch source) — engine seeds hosttrap@0 the same way
+            self._trap_fold(rows)
         for r in rows:
             self.frontier[r["url"]] = r
         counters = {
@@ -197,6 +244,10 @@ class PyRefCrawl:
             d = self.delays.get(h)
             if d:
                 e = min(e, max(1, self.round_seconds // d))
+            if self.trap_guard and self._trapped(h):
+                # quarantine binds LAST — after halving, carry, and the
+                # crawl-delay cap (mirrors _effective_budget's override)
+                e = 1
             eff[h] = e
         batch = pop_batch_py(pending, eff)
         batch.sort(key=lambda r: (r["priority"], r["url"]))
@@ -246,6 +297,10 @@ class PyRefCrawl:
                     cands[canon] = (d, kind)
 
         rows, deduped, denied = self._admit(cands, round_no)
+        if self.trap_guard:
+            # fold AFTER the round's eff was computed: the engine's
+            # quarantine reads hosttrap@round-1 (one-round feedback lag)
+            self._trap_fold(rows, per_host)
         if self.quality_rank:
             # fold AFTER _admit: this round's fetches must not influence
             # this round's discovery priorities (engine reads hostqual@r-1)

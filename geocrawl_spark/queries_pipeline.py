@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_core import ORACLE_SQL, _q, _t
-from .queries_ml import dedup_ngram_jaccard
+from .queries_ml import _INTER_CTES, dedup_ngram_jaccard
 
 # ---------------------------------------------------------------------------
 # dedup cluster resolution: LSH pairs -> connected components -> keepers
@@ -2441,4 +2441,185 @@ def quality_classifier_score(spark, sf_dir):
         F.when(mean_milli >= 1000000, F.lit("keep"))
         .otherwise(F.lit("drop"))
         .alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation reports: threshold sensitivity, cluster shape, source balance
+# ---------------------------------------------------------------------------
+
+#: Jaccard thresholds (parts per million) swept by dedup_threshold_sweep —
+#: the operating points a curation run actually debates (0.5 = aggressive
+#: near-dup, 0.9 = conservative almost-exact).
+_SWEEP_PPM = [500_000, 600_000, 700_000, 800_000, 900_000]
+
+
+@_q(
+    "dedup_threshold_sweep",
+    f"""
+    with {_INTER_CTES},
+    j as (
+      select doc_a, doc_b, (1000000 * i) // (n_a + n_b - i) as jppm
+      from pairs_sized
+    ),
+    thr as (select unnest([{", ".join(map(str, _SWEEP_PPM))}]) as thr_ppm),
+    hits as (
+      select thr.thr_ppm, j.doc_a, j.doc_b from thr join j on j.jppm >= thr.thr_ppm
+    ),
+    per_pair as (
+      select thr_ppm, count(*)::bigint as n_pairs from hits group by 1
+    ),
+    per_doc as (
+      select thr_ppm, count(distinct d)::bigint as n_docs
+      from (select thr_ppm, unnest([doc_a, doc_b]) as d from hits)
+      group by 1
+    )
+    select thr.thr_ppm::bigint as thr_ppm,
+           coalesce(per_pair.n_pairs, 0)::bigint as n_pairs,
+           coalesce(per_doc.n_docs, 0)::bigint as n_docs
+    from thr
+      left join per_pair using (thr_ppm)
+      left join per_doc using (thr_ppm)
+    order by thr_ppm
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold SENSITIVITY report: for each candidate Jaccard
+    operating point (0.5..0.9 in millionths), how many verified pairs and
+    how many distinct affected docs the corpus would yield.  This is the
+    table a curation run reads before committing to a threshold — the
+    knee of n_docs(threshold) is where near-dup mass lives; picking 0.5
+    vs 0.8 blind is the difference between dropping boilerplate families
+    and dropping legitimate syndicated variants.
+
+    Scale shape: the expensive part — df-capped candidate pairs with
+    TRUE intersections (:func:`queries_ml._shingle_pair_intersections`)
+    — is computed ONCE and is the same plan dedup_ngram_jaccard already
+    runs; the sweep itself is a broadcast theta-join of those pairs
+    against a 5-row threshold dimension plus two tiny aggregates.
+    Integer millionths with floor division, bit-equal across engines."""
+    from .queries_ml import _shingle_pair_intersections
+
+    p = _shingle_pair_intersections(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(t,) for t in _SWEEP_PPM], "thr_ppm long"
+    )
+    j = p.select(
+        "doc_a",
+        "doc_b",
+        F.expr("(1000000 * i) div (n_a + n_b - i)").alias("jppm"),
+    )
+    hits = j.join(F.broadcast(thr), F.col("jppm") >= F.col("thr_ppm"))
+    per_pair = hits.groupBy("thr_ppm").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    per_doc = (
+        hits.select(
+            "thr_ppm", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("thr_ppm")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    return (
+        thr.join(per_pair, "thr_ppm", "left")
+        .join(per_doc, "thr_ppm", "left")
+        .select(
+            "thr_ppm",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+@_q(
+    "cluster_size_histogram",
+    f"""
+    with recursive {_cc_sql()}
+    select cluster_size,
+           count(*)::bigint as n_clusters,
+           (cluster_size * count(*))::bigint as n_docs,
+           ((cluster_size - 1) * count(*))::bigint as n_docs_removed
+    from sz group by 1 order by 1
+    """,
+)
+def cluster_size_histogram(spark, sf_dir):
+    """Frequency-of-frequencies over the near-dup components: how many
+    clusters exist at each size, and how many docs they hold.  The
+    histogram is the one-page answer to "what does dedup actually delete
+    here" — a heavy tail of giant clusters means template/boilerplate
+    families (and is the first symptom when closure runs over unverified
+    pairs; see dedup_clusters' VERIFY-BEFORE-CLOSURE note), while an
+    all-size-2 histogram means simple mirrors.  n_docs_removed =
+    (size-1) per cluster, the exact row count a keeper-dedup drops.
+
+    Scale shape: reuses :func:`_cc_min_label` over the verified pairs
+    (the dedup_clusters plan) plus two tiny aggregates — the histogram
+    dimension is at most the largest cluster size."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_min_label(edges)
+    sz = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        sz.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs_removed"),
+        )
+    )
+
+
+@_q(
+    "source_gini",
+    """
+    with c as (
+      select source, count(*)::bigint as cnt from documents group by 1
+    ),
+    r as (
+      select cnt, row_number() over (order by cnt, source) as rk from c
+    )
+    select ((1000 * (2 * sum(rk * cnt) - (count(*) + 1) * sum(cnt)))
+            // (count(*) * sum(cnt)))::bigint as gini_permille,
+           count(*)::bigint as n_sources,
+           sum(cnt)::bigint as n_docs
+    from r
+    """,
+)
+def source_gini(spark, sf_dir):
+    """Source-concentration report: the Gini coefficient (per-mille,
+    floor) of the per-source document counts — 0 = perfectly balanced
+    mixture, ->1000 = one source dominates.  Data-mixing recipes watch
+    exactly this number when a crawl's host-budget or quality gates
+    skew the corpus toward a handful of megasites; it is the scalar
+    alarm that precedes re-weighting (quality_mixture_sample's rates).
+
+    Gini over sorted counts c_1<=...<=c_n:
+      G = (2*sum(i*c_i) - (n+1)*sum(c)) / (n*sum(c))
+    computed entirely in integer arithmetic (per-mille, floor division)
+    so both engines agree bit-for-bit; ties in cnt are ordered by source
+    for a fully deterministic ranking (equal counts contribute the same
+    sum under any permutation, but the determinism rule stands).
+
+    Scale shape: one groupBy(source) shuffle reduces the corpus to a
+    per-source count dimension (sources << docs by construction); the
+    rank window runs over THAT tiny dimension, never over rows — the
+    same agg-first-window-later shape as length_quantiles."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("cnt", "source")
+    r = c.select("cnt", F.row_number().over(w).alias("rk"))
+    return r.agg(
+        F.expr(
+            "(1000 * (2 * sum(rk * cnt) - (count(*) + 1) * sum(cnt)))"
+            " div (count(*) * sum(cnt))"
+        )
+        .cast("long")
+        .alias("gini_permille"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("cnt").cast("long").alias("n_docs"),
     )

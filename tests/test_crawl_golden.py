@@ -441,3 +441,114 @@ def test_adaptive_budget_golden(spark, tmp_path_factory):
     eng2.run(max_rounds=50)
     assert eng2.crawl_order() == ref_on.crawl_order
     assert eng2.seen_urls() == ref_on.seen_urls()
+
+
+def test_trap_guard_golden(spark, tmp_path_factory):
+    """Opt-in spider-trap quarantine: a host whose cumulative discovery
+    stats look auto-generated (n_disc >= trap_fanout * n_fetched AND a
+    discovery at depth >= trap_depth) has its effective budget forced to
+    1/round — quarantine, not exclusion, so final coverage is unchanged
+    while the trap stops monopolizing the schedule.  The synthetic trap
+    host is a 3-level fan-out tree (1 seed -> 3 -> 9 -> 18 leaves); the
+    rule trips once depth-3 discoveries land, and — because leaves add no
+    new discoveries — LIFTS again when fetches catch up, exercising both
+    transitions.  Engine == pyref exactly, including across a
+    kill/resume at the quarantine-trigger round (hosttrap must persist).
+    """
+    import datetime as dt
+
+    import pandas as pd
+
+    from geocrawl_spark.assets import extract_text_py
+
+    trap, good = "trap.example.org", "good.example.org"
+
+    def page(host, name, hrefs):
+        html = (
+            "<html><body>"
+            + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+            + "</body></html>"
+        ).encode()
+        return {
+            "url": f"http://{host}/p/{name}.html",
+            "warc_ts": dt.datetime(2020, 1, 1),
+            "html": html,
+            "text": extract_text_py(html),
+            "lang": "en",
+        }
+
+    rows = []
+    # trap host: seed -> t{i} -> t{i}_{j} -> two leaf children each
+    d1 = [f"t{i}" for i in range(3)]
+    rows.append(page(trap, "seed", [f"/p/{n}.html" for n in d1]))
+    for a in d1:
+        kids = [f"{a}_{j}" for j in range(3)]
+        rows.append(page(trap, a, [f"/p/{k}.html" for k in kids]))
+        for b in kids:
+            leaves = [f"{b}_{m}" for m in range(2)]
+            rows.append(page(trap, b, [f"/p/{le}.html" for le in leaves]))
+            rows.extend(page(trap, le, []) for le in leaves)
+    # well-behaved control host: tiny linear chain
+    rows.append(page(good, "seed", ["/p/g1.html"]))
+    rows.append(page(good, "g1", ["/p/g2.html"]))
+    rows.append(page(good, "g2", []))
+    pages = pd.DataFrame(rows)
+    seeds = pd.DataFrame(
+        [
+            {"url": f"http://{trap}/p/seed.html", "priority": 0},
+            {"url": f"http://{good}/p/seed.html", "priority": 0},
+        ]
+    )
+    robots = pd.DataFrame(
+        [{"host": h, "disallow": [], "allow": []} for h in (trap, good)]
+    )
+    budget = pd.DataFrame(
+        [{"host": trap, "budget": 4}, {"host": good, "budget": 2}]
+    )
+
+    ref_on = PyRefCrawl(pages, seeds, robots, budget, trap_guard=True)
+    ref_on.run(max_rounds=50)
+    ref_off = PyRefCrawl(pages, seeds, robots, budget)
+    ref_off.run(max_rounds=50)
+    assert ref_on.crawl_order != ref_off.crawl_order  # the quarantine binds
+    assert sorted(u for _, _, u in ref_on.crawl_order) == sorted(
+        u for _, _, u in ref_off.crawl_order
+    )  # quarantine, not exclusion: identical final coverage
+    assert ref_on.seen_urls() == ref_off.seen_urls()
+    # both transitions exercised: trapped mid-crawl, lifted by the end
+    probe = PyRefCrawl(pages, seeds, robots, budget, trap_guard=True)
+    probe.init_state()
+    flags, r = [], 1
+    while probe.run_round(r) is not None:
+        flags.append(probe._trapped(trap))
+        r += 1
+    assert True in flags and flags[-1] is False
+
+    def mk(tmpdir):
+        return CrawlEngine(
+            spark,
+            pages=spark.createDataFrame(
+                pages,
+                "url string, warc_ts timestamp, html binary, text string, lang string",
+            ),
+            seeds=spark.createDataFrame(seeds),
+            robots=spark.createDataFrame(
+                robots, "host string, disallow array<string>, allow array<string>"
+            ),
+            hostbudget=spark.createDataFrame(budget),
+            base_dir=str(tmpdir),
+            n_shards=4, salt=4, m_bits=1 << 18, k=7, n_buckets=4,
+            trap_guard=True,
+        )
+
+    eng = mk(tmp_path_factory.mktemp("trapguard"))
+    # kill after round 3 (the round whose depth-3 discoveries trip the
+    # quarantine) — resume must read hosttrap@3 from disk
+    eng.init_state()
+    for r in (1, 2, 3):
+        eng.run_round(r)
+    eng.io.rollback_to(3)
+    eng2 = mk(str(eng.io.base))
+    eng2.run(max_rounds=50)
+    assert eng2.crawl_order() == ref_on.crawl_order
+    assert eng2.seen_urls() == ref_on.seen_urls()

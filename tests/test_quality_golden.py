@@ -99,14 +99,18 @@ def test_quality_rank_composed_optins_refresh_resume(
     spark, fixtures, tmp_path_factory
 ):
     """quality_rank + abucket + compaction + link log + adaptive budgets
-    through crawl -> refresh -> kill/resume -> post-refresh recrawl."""
+    + trap guard through crawl -> refresh -> kill/resume -> post-refresh
+    recrawl (every per-round feedback table — hosterr, hostqual,
+    hosttrap — must survive the refresh commit and the resume)."""
     kw = dict(
         mode="abucket", n_shards=4, salt=4, m_bits=1 << 18, k=7, n_buckets=4,
         compact_seen_every=2, log_links=True, adaptive_budget=True,
+        trap_guard=True,
     )
     ref = PyRefCrawl(
         fixtures["pages"], fixtures["seeds"], fixtures["robots"],
         fixtures["budget"], quality_rank=True, adaptive_budget=True,
+        trap_guard=True,
     )
     ref.run(max_rounds=50)
 

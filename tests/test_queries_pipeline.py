@@ -776,3 +776,78 @@ def test_quality_classifier_both_labels_fire(spark):
     for r in rows:
         assert -1000000 <= r["score_milli"] <= 1000000
         assert (r["label"] == "keep") == (r["score_milli"] >= 0)
+
+
+# ---------------------------------------------------------------------------
+# curation reports: threshold sweep, cluster histogram, source gini
+# ---------------------------------------------------------------------------
+
+def test_dedup_threshold_sweep_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import (
+        _SWEEP_PPM,
+        dedup_threshold_sweep,
+    )
+
+    # A-triple: identical (jaccard 1.0, 3 pairs); B~C share 7 of 9
+    # distinct 3-gram shingles (jppm = 777777 -> counted at <= 0.7
+    # thresholds only); D is unrelated vocabulary
+    a = "a b c d e f g h"
+    b = "p q r s t u v w x y"
+    c = "p q r s t u v w x z"
+    d = "m1 m2 m3 m4 m5 m6 m7"
+    sf = _docs_dir(spark, tmp_path, [(t, "en") for t in (a, a, a, b, c, d)])
+    got = {
+        r["thr_ppm"]: (r["n_pairs"], r["n_docs"])
+        for r in dedup_threshold_sweep(spark, sf).collect()
+    }
+    assert sorted(got) == sorted(_SWEEP_PPM)  # zero rows never vanish
+    assert got[500_000] == (4, 5)
+    assert got[600_000] == (4, 5)
+    assert got[700_000] == (4, 5)
+    assert got[800_000] == (3, 3)
+    assert got[900_000] == (3, 3)
+    # monotone: raising the threshold can only shed pairs/docs
+    seq = [got[t] for t in sorted(got)]
+    assert all(x >= y for x, y in zip(seq, seq[1:]))
+
+
+def test_cluster_size_histogram_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import cluster_size_histogram
+
+    a = "a b c d e f g h"
+    b = "p q r s t u v w x y"
+    c = "p q r s t u v w x z"
+    d = "m1 m2 m3 m4 m5 m6 m7"
+    sf = _docs_dir(spark, tmp_path, [(t, "en") for t in (a, a, a, b, c, d)])
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_docs_removed"])
+        for r in cluster_size_histogram(spark, sf).collect()
+    }
+    # {A1,A2,A3} is a size-3 clique, {B,C} a size-2 pair; D untouched
+    # (never appears — trivially a keeper)
+    assert got == {2: (1, 2, 1), 3: (1, 3, 2)}
+
+
+def test_source_gini_balanced_and_skewed(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import source_gini
+
+    def mk(counts, sub):
+        rows = []
+        i = 0
+        for s, n in enumerate(counts):
+            for _ in range(n):
+                rows.append((i, f"w{i} x y z", "en", f"src{s}", 10))
+                i += 1
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = tmp_path / sub
+        df.coalesce(1).write.parquet(str(out / "documents.parquet"))
+        return str(out)
+
+    bal = source_gini(spark, mk([5, 5, 5, 5], "bal")).collect()[0]
+    assert (bal["gini_permille"], bal["n_sources"], bal["n_docs"]) == (0, 4, 20)
+    # counts [1,1,1,17]: G = (2*74 - 5*20) / (4*20) = 48/80 -> 600 permille
+    sk = source_gini(spark, mk([1, 1, 1, 17], "skew")).collect()[0]
+    assert (sk["gini_permille"], sk["n_sources"], sk["n_docs"]) == (600, 4, 20)
