@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_core import ORACLE_SQL, _q, _t
-from .queries_ml import _INTER_CTES, dedup_ngram_jaccard
+from .queries_ml import _INTER_CTES, _words, dedup_ngram_jaccard
 
 # ---------------------------------------------------------------------------
 # dedup cluster resolution: LSH pairs -> connected components -> keepers
@@ -2622,4 +2622,163 @@ def source_gini(spark, sf_dir):
         .alias("gini_permille"),
         F.count("*").cast("long").alias("n_sources"),
         F.sum("cnt").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule gate + topic-balance report
+# ---------------------------------------------------------------------------
+
+#: Gopher's stopword gate set (Rae et al., Gopher, Table A1: a document
+#: must contain at least 2 of these words to survive the rule battery).
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@_q(
+    "gopher_quality_flags",
+    f"""
+    select doc_id,
+           (case when nw between 50 and 100000 then 1 else 0 end)::bigint
+             as flag_word_count,
+           (case when mwl_milli between 3000 and 10000 then 1 else 0 end)::bigint
+             as flag_word_len,
+           (case when stop_hits >= 2 then 1 else 0 end)::bigint
+             as flag_stopwords,
+           (case when (1000 * n_uniq) // nw >= 300 then 1 else 0 end)::bigint
+             as flag_distinct,
+           (case when (1000 * n_short) // nw <= 500 then 1 else 0 end)::bigint
+             as flag_short_tokens,
+           (case when nw between 50 and 100000
+                  and mwl_milli between 3000 and 10000
+                  and stop_hits >= 2
+                  and (1000 * n_uniq) // nw >= 300
+                  and (1000 * n_short) // nw <= 500
+             then 1 else 0 end)::bigint as keep
+    from (
+      select doc_id,
+             len(ws) as nw,
+             (1000 * length(replace(text, ' ', ''))) // len(ws) as mwl_milli,
+             len(list_filter(ws, w -> w in
+                 ({", ".join(f"'{s}'" for s in _GOPHER_STOPS)}))) as stop_hits,
+             len(list_distinct(ws)) as n_uniq,
+             len(list_filter(ws, w -> length(w) <= 2)) as n_short
+      from (select doc_id, text, string_split(text, ' ') as ws from documents)
+    )
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """The Gopher rule battery (Rae et al., Table A1) as a per-document
+    FLAG table — the published web-text keep/drop gate, adapted to this
+    corpus's whitespace tokens: word count in [50, 100k], mean word
+    length in [3, 10], >= 2 stopword tokens from Gopher's 8-word set,
+    distinct-word ratio >= 0.3 (the repetition guard
+    :func:`gopher_repetition` measures in gram space), and <= 50%
+    1-2-char tokens (the symbol-ratio proxy).  Per-rule flags stay
+    visible — a curation run reads WHICH rule kills a document (the
+    rule-attribution table every filtering paper reports), not just the
+    final ``keep``.
+
+    All thresholds are evaluated in integer milli-units with floor
+    division, so Spark and DuckDB agree bit-for-bit.  Scale shape: one
+    WholeStageCodegen projection over the corpus — tokenized ONCE into
+    ``ws`` (the tokenize-once rule), zero shuffles, zero UDFs."""
+    d = _t(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id",
+        _words(F.col("text")).alias("ws"),
+        (F.lit(1000) * F.length(F.regexp_replace("text", " ", ""))).alias(
+            "chars_k"
+        ),
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    base = dw.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.expr("chars_k div size(ws)").alias("mwl_milli"),
+        F.size(
+            F.filter("ws", lambda w: F.array_contains(stops, w))
+        ).alias("stop_hits"),
+        F.size(F.array_distinct("ws")).alias("n_uniq"),
+        F.size(F.filter("ws", lambda w: F.length(w) <= 2)).alias("n_short"),
+    )
+    f_wc = F.col("nw").between(50, 100000)
+    f_wl = F.col("mwl_milli").between(3000, 10000)
+    f_st = F.col("stop_hits") >= 2
+    f_di = F.expr("(1000 * n_uniq) div nw") >= 300
+    f_sh = F.expr("(1000 * n_short) div nw") <= 500
+    as_long = lambda c, nm: F.when(c, 1).otherwise(0).cast("long").alias(nm)
+    return base.select(
+        "doc_id",
+        as_long(f_wc, "flag_word_count"),
+        as_long(f_wl, "flag_word_len"),
+        as_long(f_st, "flag_stopwords"),
+        as_long(f_di, "flag_distinct"),
+        as_long(f_sh, "flag_short_tokens"),
+        as_long(f_wc & f_wl & f_st & f_di & f_sh, "keep"),
+    )
+
+
+def _topic_mix_sql() -> str:
+    from .queries_ml import _ivf_sql_ctes
+
+    return f"""
+    with {_ivf_sql_ctes()},
+    m as (select vec_id, cid from assign where rk = 1),
+    j as (select m.cid, d.source from m join documents d on d.doc_id = m.vec_id),
+    c as (select cid, source, count(*)::bigint as n_docs from j group by 1, 2),
+    t as (select cid, sum(n_docs)::bigint as cluster_docs from c group by 1)
+    select c.cid::bigint as cid, c.source, c.n_docs,
+           t.cluster_docs,
+           ((1000 * c.n_docs) // t.cluster_docs)::bigint as share_permille
+    from c join t using (cid)
+    """
+
+
+@_q("topic_source_mix", _topic_mix_sql())
+def topic_source_mix(spark, sf_dir):
+    """Topic-balance report: the (IVF cluster x source) contingency table
+    over the embedding corpus — for each trained-IVF cluster (the cheap
+    unsupervised 'topic' a 100 TB pipeline already has, because dedup
+    trained the same centroids), how many docs each source contributes
+    and its per-mille share of the cluster.  This is the other axis of
+    the mixing report: :func:`source_gini` says whether sources are
+    balanced GLOBALLY; this says whether a topic is single-sourced —
+    the signal that a domain (code, news, forums) is about to be
+    memorized from one site's phrasing.
+
+    Reuses the exact trained-centroid assignment
+    (:func:`queries_ml._ivf_assign_ranked`, rk=1 membership) that
+    sim_ivf_topk / dedup_embedding_bucketed index with — one training
+    pass serves search, dedup, AND reporting.  Scale shape: the
+    centroid broadcast scan plus two tiny aggregates over (cid, source);
+    share math is integer per-mille floor division."""
+    from .queries_ml import (
+        _dvec,
+        _dot,
+        _ivf_assign_ranked,
+        _ivf_k_of,
+        _vec_count,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    k = _ivf_k_of(_vec_count(sf_dir, "embeddings", n))
+    m = _ivf_assign_ranked(n, k).filter(F.col("rk") == 1).select("vec_id", "cid")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    c = (
+        m.join(d, m.vec_id == d.doc_id)
+        .groupBy("cid", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    t = c.groupBy("cid").agg(F.sum("n_docs").cast("long").alias("cluster_docs"))
+    return c.join(t, "cid").select(
+        F.col("cid").cast("long").alias("cid"),
+        "source",
+        "n_docs",
+        "cluster_docs",
+        F.expr("(1000 * n_docs) div cluster_docs").cast("long").alias(
+            "share_permille"
+        ),
     )

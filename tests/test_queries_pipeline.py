@@ -851,3 +851,73 @@ def test_source_gini_balanced_and_skewed(spark, tmp_path):
     # counts [1,1,1,17]: G = (2*74 - 5*20) / (4*20) = 48/80 -> 600 permille
     sk = source_gini(spark, mk([1, 1, 1, 17], "skew")).collect()[0]
     assert (sk["gini_permille"], sk["n_sources"], sk["n_docs"]) == (600, 4, 20)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule gate + topic-balance report
+# ---------------------------------------------------------------------------
+
+def test_gopher_quality_flags_each_rule_fires(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import gopher_quality_flags
+
+    import itertools
+    import string
+
+    two = [  # distinct 2-char tokens, no stopword collisions
+        a + b for a, b in itertools.product(string.ascii_lowercase, repeat=2)
+        if a + b not in ("be", "to", "of")
+    ]
+    docs = [
+        # 0: passes every rule (60 words, 2 stopwords, all distinct,
+        #    long words, one short token)
+        "the of " + " ".join(f"word{i}" for i in range(58)),
+        # 1: word count < 50, everything else fine
+        "the of word1 word2 word3",
+        # 2: mean word length < 3 (2-char soup)
+        "the of " + " ".join(two[:58]),
+        # 3: zero Gopher stopwords
+        " ".join(f"word{i}" for i in range(60)),
+        # 4: distinct-word ratio < 0.3 (one word repeated 58x)
+        "the of " + " ".join(["same"] * 58),
+        # 5: >50% short tokens but mean length still >= 3
+        "the of " + " ".join(two[:40]) + " "
+        + " ".join(f"longword{i}" for i in range(18)),
+    ]
+    sf = _docs_dir(spark, tmp_path, [(t, "en") for t in docs])
+    got = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_flags(spark, sf).collect()}
+    assert got[0]["keep"] == 1
+    assert got[1]["flag_word_count"] == 0 and got[1]["keep"] == 0
+    assert got[2]["flag_word_len"] == 0 and got[2]["keep"] == 0
+    assert got[3]["flag_stopwords"] == 0 and got[3]["keep"] == 0
+    assert got[4]["flag_distinct"] == 0 and got[4]["keep"] == 0
+    assert got[5]["flag_short_tokens"] == 0 and got[5]["keep"] == 0
+    # keep is exactly the conjunction of the five flags, every row
+    for r in got.values():
+        flags = [r["flag_word_count"], r["flag_word_len"],
+                 r["flag_stopwords"], r["flag_distinct"],
+                 r["flag_short_tokens"]]
+        assert r["keep"] == int(all(flags))
+
+
+def test_topic_source_mix_invariants(spark):
+    from geocrawl_spark.queries_pipeline import topic_source_mix
+
+    rows = topic_source_mix(spark, SF001).collect()
+    assert rows
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+    total = 0
+    for cid, rs in by_cid.items():
+        cluster_docs = rs[0]["cluster_docs"]
+        assert all(r["cluster_docs"] == cluster_docs for r in rs)
+        assert sum(r["n_docs"] for r in rs) == cluster_docs
+        total += cluster_docs
+        # floor(1000 * n/t) shares: sum in (1000 - n_sources, 1000]
+        s = sum(r["share_permille"] for r in rs)
+        assert 1000 - len(rs) < s <= 1000
+        for r in rs:
+            assert r["share_permille"] == (1000 * r["n_docs"]) // cluster_docs
+    # every embedded doc lands in exactly one cluster row
+    assert total == 500
