@@ -1,0 +1,79 @@
+"""Crawl -> corpus bridge: reshape a finished crawl's per-round
+``extracted`` snapshots into the documents-table contract
+``(doc_id, text, lang, source, n_chars)`` that every pipeline operator
+in :mod:`queries_ml` / :mod:`queries_pipeline` consumes.
+
+This is the seam that makes the two halves of the repo ONE system: the
+engine's output (reference live path, ``geocrawl/geocrawler.go:14-63``
+extract-per-file) becomes the input of the dedup / quality / mixing
+suite without any format adapter in between — a user runs
+``sf = corpus_from_crawl(spark, eng.io, out)`` and every
+``queries()`` entry works on ``sf`` unchanged.
+
+Scale shape: one projection over the union of round partitions (the
+extracted table is already round-partitioned on disk, so the read
+prunes like every other engine table), an optional broadcast-size join
+against the pages dimension for ``lang``, and a single parquet write.
+No shuffle beyond the write's own partitioning; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canon import host_expr
+from .checkpoint import TableIO
+from .frontier import read_all_rounds
+
+
+def corpus_documents(
+    spark: SparkSession, io: TableIO, pages: DataFrame | None = None
+) -> DataFrame:
+    """The documents-contract DataFrame for a finished crawl.
+
+    - ``doc_id``: ``xxhash64(url)`` — deterministic across resumes and
+      re-runs (the engine guarantees one extracted row per url: the
+      seen filter admits each canonical url once).  Collisions at
+      10^10 urls are ~3e-3 birthday-expected for the whole corpus —
+      acceptable for dedup keeper election (min(doc_id) just picks a
+      different keeper); pipelines needing certainty can swap in the
+      (round, fetch_seq) pair from ``crawl_log``.
+    - ``source``: the politeness host (:func:`canon.host_expr`) — the
+      natural mixing stratum the reports (source_gini,
+      topic_source_mix, host_quality_rollup) group by.
+    - ``lang``: joined from the ``pages`` corpus when provided (the
+      same DataFrame the engine crawled — urls match by construction),
+      else ``'und'``.
+    """
+    ext = read_all_rounds(spark, io, "extracted")
+    if ext is None:
+        raise ValueError("no committed extracted tables in this crawl")
+    d = ext.select(
+        F.xxhash64("url").alias("doc_id"),
+        F.col("text_extracted").alias("text"),
+        host_expr(F.col("url")).alias("source"),
+        F.length("text_extracted").cast("long").alias("n_chars"),
+        "url",
+    )
+    if pages is not None:
+        d = d.join(F.broadcast(pages.select("url", "lang")), "url", "left")
+        lang = F.coalesce("lang", F.lit("und"))
+    else:
+        lang = F.lit("und")
+    return d.select("doc_id", "text", lang.alias("lang"), "source", "n_chars")
+
+
+def corpus_from_crawl(
+    spark: SparkSession,
+    io: TableIO,
+    out_dir: str,
+    pages: DataFrame | None = None,
+) -> str:
+    """Write ``out_dir/documents.parquet`` in the documents contract and
+    return ``out_dir`` — directly usable as the ``sf_dir`` argument of
+    every pipeline query."""
+    corpus_documents(spark, io, pages).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    return out_dir
