@@ -2782,3 +2782,157 @@ def topic_source_mix(spark, sf_dir):
             "share_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-training prep (BPE merge statistics) + mirror detection
+# ---------------------------------------------------------------------------
+
+#: end-of-word marker appended before pair extraction, so the last
+#: character forms a (char, marker) pair and merges can never cross a
+#: word boundary — the single-char stand-in for Sennrich's '</w>'.
+#: The synthetic corpus alphabet is [a-z0-9 ], so '_' cannot collide.
+_BPE_EOW = "_"
+
+_BPE_SQL = f"""
+    with wf as (
+      select tok as w, count(*)::bigint as f
+      from (select unnest(string_split(text, ' ')) as tok from documents)
+      group by 1
+    ),
+    pi as (
+      select w, f, unnest(generate_series(1, length(w))) as i from wf
+    ),
+    p as (
+      select w, f, substring(w || '{_BPE_EOW}', i, 2) as pair from pi
+    )
+    select pair, sum(f)::bigint as pair_count,
+           count(distinct w)::bigint as n_words
+    from p group by pair
+    order by pair_count desc, pair
+"""
+
+
+@_q("bpe_pair_counts", _BPE_SQL)
+def bpe_pair_counts(spark, sf_dir):
+    """First iteration of BPE tokenizer training (Sennrich et al., ACL
+    2016) as a corpus statistic: the frequency of every adjacent symbol
+    pair, weighted by word occurrence count, with an end-of-word marker
+    so merges cannot cross word boundaries.  The argmax row IS the
+    first merge a real trainer would perform; re-running after applying
+    a merge is the training loop, and every iteration has exactly this
+    plan shape.  ``n_words`` (distinct vocabulary entries containing
+    the pair) makes the merge's vocabulary blast radius observable.
+
+    Scale shape — the reason BPE training is feasible at 100 TB: one
+    map-side-combined groupBy collapses the token stream into the
+    DISTINCT-word frequency table (Zipf: vocabulary grows ~log of
+    corpus size, so this is the only pass that touches every byte);
+    pair explosion and the weighted rollup then run over the tiny
+    vocab table only.  All counts are exact integers — hash-portable
+    by construction."""
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    pairs = wf.select(
+        "w",
+        "f",
+        F.expr(
+            f"transform(sequence(1, length(w)), "
+            f"i -> substring(concat(w, '{_BPE_EOW}'), i, 2))"
+        ).alias("ps"),
+    ).select("w", "f", F.explode("ps").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("f").cast("long").alias("pair_count"),
+            F.countDistinct("w").cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+    )
+
+
+_OVERLAP_SQL = f"""
+    with {_INTER_CTES},
+    jp as (
+      select doc_a, doc_b from pairs_sized
+      where i / (n_a + n_b - i) >= 0.5
+    ),
+    lab as (
+      select least(da.source, db.source) as src_a,
+             greatest(da.source, db.source) as src_b,
+             jp.doc_a, jp.doc_b
+      from jp
+        join documents da on jp.doc_a = da.doc_id
+        join documents db on jp.doc_b = db.doc_id
+    ),
+    np as (
+      select src_a, src_b, count(*)::bigint as n_pairs
+      from lab group by 1, 2
+    ),
+    dd as (
+      select src_a, src_b, count(distinct doc)::bigint as n_docs
+      from (select src_a, src_b, unnest([doc_a, doc_b]) as doc from lab)
+      group by 1, 2
+    )
+    select src_a, src_b, n_pairs, dd.n_docs
+    from np join dd using (src_a, src_b)
+    order by n_pairs desc, src_a, src_b
+"""
+
+
+@_q("source_overlap_matrix", _OVERLAP_SQL)
+def source_overlap_matrix(spark, sf_dir):
+    """Mirror detection: the (source x source) matrix of VERIFIED
+    near-duplicate pairs (true n-gram Jaccard >= 0.5, the
+    :func:`queries_ml.dedup_ngram_jaccard` contract).  A heavy
+    off-diagonal cell means two hosts serve near-identical content —
+    the classic mirror/syndication pattern a crawler should collapse
+    (fetch one, downweight the other's budget, exactly the lever
+    :class:`frontier.CrawlEngine`'s per-host budgets and trap_guard
+    already expose); a heavy diagonal cell is an intra-host template
+    farm.  ``n_docs`` counts the distinct documents involved so a
+    single hub page duplicated everywhere reads differently from two
+    genuinely mirrored corpora.
+
+    Scale shape: pair generation is the shared df-capped posting-list
+    plan (never quadratic in corpus size); the source labeling is two
+    joins against the (doc_id, source) projection keyed on doc id, and
+    the matrix rollup is a map-side-combined groupBy over at most
+    |sources|^2 cells."""
+    from .queries_ml import _shingle_pair_intersections
+
+    p = _shingle_pair_intersections(spark, sf_dir)
+    jac = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    jp = p.filter(jac >= 0.5).select("doc_a", "doc_b")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = (
+        jp.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    np_ = lab.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    dd = (
+        lab.select(
+            "src_a", "src_b", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
+    )
+    return (
+        np_.join(dd, ["src_a", "src_b"])
+        .select("src_a", "src_b", "n_pairs", "n_docs")
+        .orderBy(F.desc("n_pairs"), "src_a", "src_b")
+    )

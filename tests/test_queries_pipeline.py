@@ -921,3 +921,55 @@ def test_topic_source_mix_invariants(spark):
             assert r["share_permille"] == (1000 * r["n_docs"]) // cluster_docs
     # every embedded doc lands in exactly one cluster row
     assert total == 500
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics + source overlap matrix
+# ---------------------------------------------------------------------------
+
+def test_bpe_pair_counts_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import bpe_pair_counts
+
+    # vocab: ab x2, cab x1 ->
+    #   ab_: pairs (ab, b_) each weight 2
+    #   cab_: pairs (ca, ab, b_) each weight 1
+    sf = _docs_dir(spark, tmp_path, [("ab ab cab", "en")])
+    got = {r["pair"]: r for r in bpe_pair_counts(spark, sf).collect()}
+    assert got["ab"]["pair_count"] == 3 and got["ab"]["n_words"] == 2
+    assert got["b_"]["pair_count"] == 3 and got["b_"]["n_words"] == 2
+    assert got["ca"]["pair_count"] == 1 and got["ca"]["n_words"] == 1
+    assert set(got) == {"ab", "b_", "ca"}
+
+
+def test_bpe_pair_counts_repeated_pair_in_word(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import bpe_pair_counts
+
+    # "aaa" contributes the pair "aa" TWICE per occurrence (positions
+    # 1 and 2) — occurrence counting, not distinct-pairs-per-word.
+    sf = _docs_dir(spark, tmp_path, [("aaa aaa", "en")])
+    got = {r["pair"]: r for r in bpe_pair_counts(spark, sf).collect()}
+    assert got["aa"]["pair_count"] == 4 and got["aa"]["n_words"] == 1
+    assert got["a_"]["pair_count"] == 2
+
+
+def test_source_overlap_matrix_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import source_overlap_matrix
+
+    # _docs_dir: doc i -> source src{i%20}.  T duplicated at docs 0, 1,
+    # and 20 -> verified pairs (0,1) src0xsrc1, (0,20) src0xsrc0 (the
+    # intra-source template cell), (1,20) src0xsrc1.  Fillers are
+    # 2-word docs (no 3-gram shingles, so no spurious pairs).
+    T = " ".join(f"w{i}" for i in range(12))
+    rows = [(T, "en"), (T, "en")]
+    rows += [(f"x{i} y{i}", "en") for i in range(18)]  # docs 2..19
+    rows.append((T, "en"))  # doc 20 -> src0
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap_matrix(spark, sf).collect()
+    }
+    assert set(got) == {("src0", "src0"), ("src0", "src1")}
+    assert got[("src0", "src0")]["n_pairs"] == 1
+    assert got[("src0", "src0")]["n_docs"] == 2
+    assert got[("src0", "src1")]["n_pairs"] == 2
+    assert got[("src0", "src1")]["n_docs"] == 3
