@@ -160,6 +160,8 @@ class CrawlEngine:
         trap_guard: bool = False,
         trap_fanout: int = 2,
         trap_depth: int = 3,
+        mirror_guard: bool = False,
+        mirror_min: int = 4,
     ):
         self.spark = spark
         #: Caching the pages corpus is OPT-IN (small-corpus / test / bench
@@ -260,6 +262,34 @@ class CrawlEngine:
         #: ``hosttrap`` table every round (incl. refresh commits — the
         #: hosterr lesson), so a resumed engine continues identically.
         self.trap_guard = trap_guard
+        #: Opt-in MIRROR quarantine (crawl hygiene — the engine half of
+        #: queries_pipeline.source_overlap_matrix's corpus-level report):
+        #: every fetched page's EXTRACTED text is xxhash64'd and tested
+        #: against the cumulative content-hash set (prior rounds, plus
+        #: earlier fetch_seq within the same round); a host whose
+        #: cumulative fetches are majority-duplicate content
+        #: (n_fetched >= mirror_min AND 2*n_dup >= n_fetched) has its
+        #: effective budget quarantined to 1 fetch per round — mirrors /
+        #: syndication farms stop monopolizing budget while the crawl
+        #: still drains every admitted url (final seen set unchanged).
+        #: The quarantine LIFTS if the ratio recovers.  Deterministic
+        #: integer rule, twinned in pyref.PyRefCrawl(mirror_guard=True);
+        #: cumulative (host, n_fetched, n_dup) persists per round as the
+        #: ``hostdup`` table (written EVERY round incl. refresh commits —
+        #: the hosterr lesson), and each round's NEW hashes persist as a
+        #: ``contenthash`` partition, so a resumed engine continues
+        #: identically.  Composition note: refresh() re-fetches serve
+        #: UNCHANGED content as dups by design — the dup ratio doubles as
+        #: a change-rate signal — while set_pages() snapshots with real
+        #: changes hash fresh.  At the 10^10-URL design point the
+        #: contenthash membership join rides the same bucketed-store
+        #: layout as the URL seen filter (hash-range partitions, storage-
+        #: partitioned anti-join); the per-round parquet partitions here
+        #: are the sandbox analog, exactly like the URL layer's.
+        self.mirror_guard = mirror_guard
+        if mirror_guard and mirror_min < 1:
+            raise ValueError("mirror_min must be >= 1")
+        self.mirror_min = mirror_min
         if trap_guard and (trap_fanout < 1 or trap_depth < 1):
             # trap_depth >= 1: hosts that were only ever fetched (never
             # discovered on) carry max_depth = 0 — a 0 threshold would
@@ -381,6 +411,7 @@ class CrawlEngine:
         carry: DataFrame,
         err: DataFrame | None = None,
         trap: DataFrame | None = None,
+        mirror: DataFrame | None = None,
     ) -> DataFrame:
         """(host, budget) with residual carry applied (SURVEY H1: a host
         that under-used its budget in round k gets the leftover — capped
@@ -422,6 +453,12 @@ class CrawlEngine:
             budget = F.when(
                 F.coalesce(F.col("trapped"), F.lit(False)), F.lit(1)
             ).otherwise(budget)
+        if mirror is not None:
+            # mirror quarantine binds with the same finality as trap —
+            # forced to 1 after halving, carry, and the crawl-delay cap
+            budget = F.when(
+                F.coalesce(F.col("mirrored"), F.lit(False)), F.lit(1)
+            ).otherwise(budget)
         joined = joined.join(self.robots.select("host", "crawl_delay"), "host", "full")
         if trap is not None:
             # FULL join (like every other host dim here): a trapped host
@@ -429,6 +466,8 @@ class CrawlEngine:
             # pop_batch's DEFAULT_BUDGET coalesce would bypass the
             # quarantine (pyref overrides every pending host)
             joined = joined.join(trap, "host", "full")
+        if mirror is not None:
+            joined = joined.join(mirror, "host", "full")
         return joined.select("host", budget.cast("long").alias("budget"))
 
     def _new_carry(self, pend_h: DataFrame, done_h: DataFrame, eff: DataFrame) -> DataFrame:
@@ -478,6 +517,20 @@ class CrawlEngine:
                 & (F.col("max_depth") >= self.trap_depth)
             )
             .select("host", F.lit(True).alias("trapped"))
+        )
+
+    def _mirror_dim(self, prev_dup: DataFrame) -> DataFrame:
+        """(host, mirrored=true) rows for hosts whose cumulative fetch
+        history through the previous round is majority-duplicate content:
+        n_fetched >= mirror_min (the small-sample guard) and
+        2*n_dup >= n_fetched.  One row per quarantined host, folded into
+        the tiny per-host budget dimension like :meth:`_trap_dim`."""
+        return (
+            prev_dup.filter(
+                (F.col("n_fetched") >= self.mirror_min)
+                & (2 * F.col("n_dup") >= F.col("n_fetched"))
+            )
+            .select("host", F.lit(True).alias("mirrored"))
         )
 
     def _trap_update(
@@ -646,6 +699,21 @@ class CrawlEngine:
                         0,
                     )
                 )
+            if self.mirror_guard:
+                # round 0 fetches nothing — seed the cumulative dup
+                # stats empty so round 1's hostdup read always resolves
+                # (contenthash needs no seed: absent partition == no
+                # hashes, and the membership union skips missing rounds)
+                writes.append(
+                    pool.submit(
+                        self.io.write_table,
+                        self.spark.createDataFrame(
+                            [], "host string, n_fetched long, n_dup long"
+                        ),
+                        "hostdup",
+                        0,
+                    )
+                )
             for w in writes:
                 w.result()  # propagate failures BEFORE the commit point
             # AFTER the flagged-scanning writes: the abucket append's
@@ -655,7 +723,7 @@ class CrawlEngine:
         self.io.commit_round(
             0,
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
-             "crawl_log", "hosterr", "hostqual", "hosttrap"],
+             "crawl_log", "hosterr", "hostqual", "hosttrap", "hostdup"],
         )
         for df in (flagged, *parents):
             df.unpersist()
@@ -724,8 +792,18 @@ class CrawlEngine:
             if self.trap_guard
             else None
         )
+        # mirror-guard quarantine input: cumulative per-host dup stats
+        # THROUGH round-1 (same one-round feedback lag as the others)
+        prev_dup = (
+            self.io.read_table(self.spark, "hostdup", round_no - 1)
+            if self.mirror_guard
+            else None
+        )
         eff_budget = self._effective_budget(
-            carry, err, self._trap_dim(prev_trap) if self.trap_guard else None
+            carry,
+            err,
+            self._trap_dim(prev_trap) if self.trap_guard else None,
+            self._mirror_dim(prev_dup) if self.mirror_guard else None,
         )
         batch = global_sequence(
             pol.pop_batch(pending, eff_budget, self.salt),
@@ -769,7 +847,7 @@ class CrawlEngine:
         pool = ThreadPoolExecutor(max_workers=8)
         writes: list = []
         flagged = kinded = parsed = persist_state = None
-        pend_h = done_h = ext_src = None
+        pend_h = done_h = ext_src = ch_marked = None
         parents: list = []
         f_nassets = f_ndead = None
         try:
@@ -804,6 +882,15 @@ class CrawlEngine:
                             self.io.write_table, prev_qual, "hostqual", round_no
                         )
                     )
+                if self.mirror_guard:
+                    # nothing fetched -> dup history unchanged; carry it
+                    # (no contenthash write: absent partition == no new
+                    # hashes, the abucket precedent)
+                    writes.append(
+                        pool.submit(
+                            self.io.write_table, prev_dup, "hostdup", round_no
+                        )
+                    )
                 self._mark(marks, "fastpath_empty_fetch")
             else:
                 # --- extract text (byte-identity invariant) + provenance -----
@@ -814,14 +901,20 @@ class CrawlEngine:
                     F.length("html").alias("content_length"),
                     F.col("warc_ts"),
                 ]
+                if self.quality_rank or self.mirror_guard:
+                    # the feedback aggregates (quality and/or content-dup)
+                    # and the extracted snapshot share one persisted
+                    # extraction pass (host/fetch_seq carried alongside,
+                    # dropped from the written table so its schema — and
+                    # the byte-identity goldens — are unchanged); the
+                    # pandas UDF runs once per page, not twice
+                    ext_src = got.select(
+                        F.col("host"), F.col("fetch_seq"), *ext_cols
+                    ).persist()
+                    extracted = ext_src.drop("host", "fetch_seq")
+                else:
+                    extracted = got.select(*ext_cols)
                 if self.quality_rank:
-                    # the quality aggregate and the extracted snapshot share
-                    # one persisted extraction pass (host carried alongside,
-                    # dropped from the written table so its schema — and the
-                    # byte-identity goldens — are unchanged); the pandas UDF
-                    # runs once per page, not twice
-                    ext_src = got.select(F.col("host"), *ext_cols).persist()
-                    extracted = ext_src.drop("host")
                     qual_now = ext_src.groupBy("host").agg(
                         F.sum(F.length("text_extracted"))
                         .cast("long")
@@ -841,8 +934,66 @@ class CrawlEngine:
                             self.io.write_table, new_qual, "hostqual", round_no
                         )
                     )
-                else:
-                    extracted = got.select(*ext_cols)
+                if self.mirror_guard:
+                    # a page is a dup iff its extracted-text xxhash64 was
+                    # seen in a PRIOR committed round (contenthash union;
+                    # read_all_rounds sees exactly rounds <= r-1 here) or
+                    # on an earlier fetch_seq THIS round (window rank) —
+                    # the total order pyref replays serially
+                    ch = ext_src.select(
+                        "host",
+                        "fetch_seq",
+                        F.xxhash64("text_extracted").alias("chash"),
+                    )
+                    prior = read_all_rounds(self.spark, self.io, "contenthash")
+                    wch = Window.partitionBy("chash").orderBy("fetch_seq")
+                    ranked = ch.withColumn("rn", F.row_number().over(wch))
+                    if prior is not None:
+                        # each round writes only first-seen hashes, so the
+                        # union is unique on chash by construction — the
+                        # left join cannot multiply rows
+                        ranked = ranked.join(
+                            prior.select(
+                                "chash", F.lit(True).alias("_prior")
+                            ),
+                            "chash",
+                            "left",
+                        )
+                    else:
+                        ranked = ranked.withColumn(
+                            "_prior", F.lit(None).cast("boolean")
+                        )
+                    ch_marked = ranked.withColumn(
+                        "is_dup",
+                        (F.col("rn") > 1) | F.col("_prior").isNotNull(),
+                    ).persist()
+                    dup_now = ch_marked.groupBy("host").agg(
+                        F.count("*").cast("long").alias("n_fetched"),
+                        F.sum(F.col("is_dup").cast("long"))
+                        .cast("long")
+                        .alias("n_dup"),
+                    )
+                    new_dup = (
+                        prev_dup.unionByName(dup_now)
+                        .groupBy("host")
+                        .agg(
+                            F.sum("n_fetched").cast("long").alias("n_fetched"),
+                            F.sum("n_dup").cast("long").alias("n_dup"),
+                        )
+                    )
+                    writes.append(
+                        pool.submit(
+                            self.io.write_table, new_dup, "hostdup", round_no
+                        )
+                    )
+                    writes.append(
+                        pool.submit(
+                            self.io.write_table,
+                            ch_marked.filter(~F.col("is_dup")).select("chash"),
+                            "contenthash",
+                            round_no,
+                        )
+                    )
                 writes.append(
                     pool.submit(self.io.write_table, extracted, "extracted", round_no)
                 )
@@ -1040,7 +1191,8 @@ class CrawlEngine:
             self._mark(marks, "seen_persist")
         finally:
             pool.shutdown(wait=True, cancel_futures=True)
-            for df in (fetched, flagged, parsed, pend_h, done_h, ext_src, *parents):
+            for df in (fetched, flagged, parsed, pend_h, done_h, ext_src,
+                       ch_marked, *parents):
                 if df is not None:
                     df.unpersist()
             if kinded is not None:
@@ -1053,6 +1205,8 @@ class CrawlEngine:
              "hosterr",  # opt-in adaptive-budget feedback (ditto)
              "hostqual",  # opt-in quality-feedback prioritization (ditto)
              "hosttrap",  # opt-in spider-trap quarantine stats (ditto)
+             "hostdup",  # opt-in mirror-quarantine dup stats (ditto)
+             "contenthash",  # opt-in per-round first-seen content hashes
              "batch"],  # batch = global_sequence's range files (committed,
                         # so rollback cleans them — no orphan scratch dirs)
         )
@@ -1285,10 +1439,19 @@ class CrawlEngine:
                 "hosttrap",
                 round_no,
             )
+        if self.mirror_guard:
+            # mirror-guard engines read hostdup@round-1 unconditionally in
+            # run_round — same carry rule (contenthash needs none: the
+            # membership union skips rounds with no partition)
+            self.io.write_table(
+                self.io.read_table(self.spark, "hostdup", r_prev),
+                "hostdup",
+                round_no,
+            )
         self.io.commit_round(
             round_no,
             ["frontier", *self._state_tables(), "hostcarry", "hosterr",
-             "hostqual", "hosttrap"],
+             "hostqual", "hosttrap", "hostdup"],
         )
         return int(n_sel)
 

@@ -25,6 +25,7 @@ from .assets import (
 )
 from .canon import canonicalize_url, host_of
 from .gdalmeta import fake_gdal_file_py, proj4_of_wkt_py
+from .hashing import xxh64_signed
 from .geometry import polygon_wkt_py
 from .parsers import parse_name_py
 from .politeness import (
@@ -62,6 +63,8 @@ class PyRefCrawl:
         trap_guard: bool = False,
         trap_fanout: int = 2,
         trap_depth: int = 3,
+        mirror_guard: bool = False,
+        mirror_min: int = 4,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
@@ -107,6 +110,20 @@ class PyRefCrawl:
         self.trap_fanout = trap_fanout
         self.trap_depth = trap_depth
         self.trap: dict[str, list[int]] = {}
+        # opt-in mirror quarantine twin (CrawlEngine mirror_guard):
+        # cumulative per-host [n_fetched, n_dup] plus the content-hash
+        # set (xxhash64 of extracted text — bit-identical to Spark's);
+        # the quarantine decision for round r uses stats THROUGH r-1
+        # (the per-host fold happens after the round's eff computation),
+        # while content_seen updates IN fetch_seq order during the loop —
+        # the serial replay of the engine's prior-rounds-union + within-
+        # round window rank
+        self.mirror_guard = mirror_guard
+        if mirror_guard and mirror_min < 1:
+            raise ValueError("mirror_min must be >= 1")
+        self.mirror_min = mirror_min
+        self.mirror: dict[str, list[int]] = {}
+        self.content_seen: set[int] = set()
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
         self.admitted: list[tuple[str, str]] = []
@@ -181,6 +198,18 @@ class PyRefCrawl:
                 if d["fetched"]:
                     self.trap.setdefault(h, [0, 0, 0])[0] += d["fetched"]
 
+    def _mirror_quarantined(self, host: str) -> bool:
+        """CrawlEngine._mirror_dim twin: quarantine when the host's
+        cumulative fetches through the previous round are majority-
+        duplicate content (n_fetched >= mirror_min, 2*n_dup >=
+        n_fetched)."""
+        m = self.mirror.get(host)
+        return (
+            m is not None
+            and m[0] >= self.mirror_min
+            and 2 * m[1] >= m[0]
+        )
+
     def _trapped(self, host: str) -> bool:
         """CrawlEngine._trap_dim twin: quarantine when the host has at
         least one fetch, discoveries >= trap_fanout x fetches, and a
@@ -248,6 +277,8 @@ class PyRefCrawl:
                 # quarantine binds LAST — after halving, carry, and the
                 # crawl-delay cap (mirrors _effective_budget's override)
                 e = 1
+            if self.mirror_guard and self._mirror_quarantined(h):
+                e = 1
             eff[h] = e
         batch = pop_batch_py(pending, eff)
         batch.sort(key=lambda r: (r["priority"], r["url"]))
@@ -260,6 +291,7 @@ class PyRefCrawl:
         counters["deferred_politeness"] = len(pending) - len(batch)
 
         cands: dict[str, tuple[int, str]] = {}
+        round_mirror: dict[str, list[int]] = {}  # mirror_guard: this round's
         round_qual: dict[str, list[int]] = {}  # quality_rank: this round's
         for seq, row in enumerate(batch, start=1):
             ph = per_host[row["host"]]
@@ -277,6 +309,18 @@ class PyRefCrawl:
             self.crawl_order.append((round_no, seq, row["url"]))
             html = page.html if isinstance(page.html, bytes) else bytes(page.html)
             self.extracted[row["url"]] = extract_text_py(html)
+            if self.mirror_guard:
+                # content_seen updates immediately (within-round ordering
+                # by fetch_seq — this loop IS that order); per-host stats
+                # fold after the round so the quarantine decision used
+                # stats through r-1, like the engine's hostdup@r-1 read
+                ch = xxh64_signed(self.extracted[row["url"]].encode())
+                rm = round_mirror.setdefault(row["host"], [0, 0])
+                rm[0] += 1
+                if ch in self.content_seen:
+                    rm[1] += 1
+                else:
+                    self.content_seen.add(ch)
             if self.quality_rank:
                 rq = round_qual.setdefault(row["host"], [0, 0])
                 rq[0] += len(self.extracted[row["url"]])
@@ -307,6 +351,13 @@ class PyRefCrawl:
             for h, (sc, nd) in round_qual.items():
                 psc, pnd = self.qual.get(h, (0, 0))
                 self.qual[h] = (psc + sc, pnd + nd)
+        if self.mirror_guard:
+            # fold AFTER the round's eff was computed (one-round lag —
+            # the engine reads hostdup@round-1)
+            for h, (nf, nd) in round_mirror.items():
+                m = self.mirror.setdefault(h, [0, 0])
+                m[0] += nf
+                m[1] += nd
         counters["deduped"] = deduped
         counters["robots_denied"] = denied["page"] + denied["asset"]
         n_fresh_pages = sum(1 for r in rows if r["kind"] == "page")

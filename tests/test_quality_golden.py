@@ -99,18 +99,21 @@ def test_quality_rank_composed_optins_refresh_resume(
     spark, fixtures, tmp_path_factory
 ):
     """quality_rank + abucket + compaction + link log + adaptive budgets
-    + trap guard through crawl -> refresh -> kill/resume -> post-refresh
-    recrawl (every per-round feedback table — hosterr, hostqual,
-    hosttrap — must survive the refresh commit and the resume)."""
+    + trap guard + mirror guard through crawl -> refresh -> kill/resume
+    -> post-refresh recrawl (every per-round feedback table — hosterr,
+    hostqual, hosttrap, hostdup — must survive the refresh commit and
+    the resume; the post-refresh re-fetches serve unchanged content, so
+    they count as dups on BOTH sides — the mirror stats double as a
+    change-rate signal)."""
     kw = dict(
         mode="abucket", n_shards=4, salt=4, m_bits=1 << 18, k=7, n_buckets=4,
         compact_seen_every=2, log_links=True, adaptive_budget=True,
-        trap_guard=True,
+        trap_guard=True, mirror_guard=True,
     )
     ref = PyRefCrawl(
         fixtures["pages"], fixtures["seeds"], fixtures["robots"],
         fixtures["budget"], quality_rank=True, adaptive_budget=True,
-        trap_guard=True,
+        trap_guard=True, mirror_guard=True,
     )
     ref.run(max_rounds=50)
 
