@@ -2936,3 +2936,109 @@ def source_overlap_matrix(spark, sf_dir):
         .select("src_a", "src_b", "n_pairs", "n_docs")
         .orderBy(F.desc("n_pairs"), "src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation extraction: integer-PMI bigram association
+# ---------------------------------------------------------------------------
+
+#: minimum bigram occurrence for a PMI row — Church & Hanks' guard
+#: against the low-count PMI explosion (a hapax pair maxes the score).
+_PMI_MIN_C = 5
+
+_PMI_SQL = f"""
+    with toks as (
+      select unnest(string_split(text, ' ')) as tok from documents
+    ),
+    uni as (select tok, count(*)::bigint as c from toks group by 1),
+    nn as (select count(*)::bigint as n from toks),
+    dw as (
+      select doc_id, string_split(text, ' ') as ws from documents
+      where len(string_split(text, ' ')) >= 2
+    ),
+    bi as (
+      select ws[i] as w1, ws[i + 1] as w2
+      from (
+        select ws, unnest(generate_series(1, len(ws) - 1)) as i from dw
+      )
+    ),
+    bc as (select w1, w2, count(*)::bigint as c_ab from bi group by 1, 2),
+    nb as (select sum(c_ab)::bigint as nb from bc),
+    f as (select * from bc where c_ab >= {_PMI_MIN_C})
+    select f.w1, f.w2, f.c_ab,
+           ((length(bin(f.c_ab)) - 1) + 2 * (length(bin(nn.n)) - 1)
+            - (length(bin(nb.nb)) - 1) - (length(bin(a.c)) - 1)
+            - (length(bin(b.c)) - 1))::bigint as pmi_bits
+    from f
+      join uni a on f.w1 = a.tok
+      join uni b on f.w2 = b.tok
+      cross join nn cross join nb
+    order by pmi_bits desc, c_ab desc, w1, w2
+"""
+
+
+@_q("bigram_pmi_top", _PMI_SQL)
+def bigram_pmi_top(spark, sf_dir):
+    """Collocation extraction (Church & Hanks, 1990): pointwise mutual
+    information of adjacent word pairs, quantized to whole bits with
+    the same ilog2(x) = length(bin(x)) - 1 identity as
+    :func:`unigram_surprisal`, so no float log ever enters the result —
+    pmi_bits = ilog2(c_ab) + 2*ilog2(N) - ilog2(N_b) - ilog2(c_a) -
+    ilog2(c_b), each term exact and bit-identical across engines
+    (summing quantized terms bounds the error at a few bits, which is
+    what a phrase-mining cut cares about).  Pairs below
+    ``_PMI_MIN_C`` occurrences are dropped first — the standard guard
+    against hapax pairs saturating the score.  The survivors are the
+    multi-word expressions a tokenizer or phrase index should treat as
+    units.
+
+    Scale shape: two map-side-combined groupBys (unigrams off the
+    exploded token stream, bigrams off per-doc adjacent pairs built
+    from ONE projected split — no shuffle wider than the Zipf-bounded
+    vocab/bigram tables), then the count-filtered bigram table (small
+    by construction) joins the unigram counts; at corpus scale that
+    join broadcasts the filtered bigram side.  1-word docs are guarded
+    out (Spark's sequence(1, 0) DESCENDS — never generate it)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    n_tot = toks.agg(F.count("*").cast("long").alias("n"))
+    dw = d.select(_words(F.col("text")).alias("ws")).filter(F.size("ws") >= 2)
+    bi = dw.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w1"),
+                    F.element_at(F.col("ws"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_ab"))
+    nb = bc.agg(F.sum("c_ab").cast("long").alias("nb"))
+    f = bc.filter(F.col("c_ab") >= _PMI_MIN_C)
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    return (
+        f.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            (
+                ilog2(F.col("c_ab"))
+                + 2 * ilog2(F.col("n"))
+                - ilog2(F.col("nb"))
+                - ilog2(F.col("ca"))
+                - ilog2(F.col("cb"))
+            )
+            .cast("long")
+            .alias("pmi_bits"),
+        )
+        .orderBy(F.desc("pmi_bits"), F.desc("c_ab"), "w1", "w2")
+    )

@@ -973,3 +973,20 @@ def test_source_overlap_matrix_hand_case(spark, tmp_path):
     assert got[("src0", "src0")]["n_docs"] == 2
     assert got[("src0", "src1")]["n_pairs"] == 2
     assert got[("src0", "src1")]["n_docs"] == 3
+
+
+def test_bigram_pmi_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import bigram_pmi_top
+
+    # tokens: x*5 y*5 z*1 -> N=11; bigrams: (x,y)*5, (y,x)*4 -> N_b=9;
+    # (y,x) is under _PMI_MIN_C and dropped.  The 1-word doc "z"
+    # exercises the sequence(1, 0) guard.
+    # pmi(x,y) = ilog2(5) + 2*ilog2(11) - ilog2(9) - ilog2(5) - ilog2(5)
+    #          = 2 + 6 - 3 - 2 - 2 = 1  (true PMI: log2((5/9)/(25/121))
+    #          = 1.43 bits)
+    rows = [("x y x y x y x y x y", "en"), ("z", "en")]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = bigram_pmi_top(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["w1"], r["w2"], r["c_ab"], r["pmi_bits"]) == ("x", "y", 5, 1)
