@@ -3042,3 +3042,70 @@ def bigram_pmi_top(spark, sf_dir):
         )
         .orderBy(F.desc("pmi_bits"), F.desc("c_ab"), "w1", "w2")
     )
+
+
+_HOSTDUP_SQL = """
+    with h as (
+      select doc_id, source, md5(text) as ch from documents
+    ),
+    r as (
+      select doc_id, source,
+             row_number() over (partition by ch order by doc_id) as rn
+      from h
+    )
+    select source,
+           count(*)::bigint as n_docs,
+           sum(case when rn > 1 then 1 else 0 end)::bigint as n_dup,
+           ((1000 * sum(case when rn > 1 then 1 else 0 end)) // count(*))
+             ::bigint as dup_permille,
+           case when count(*) >= 4
+                 and 2 * sum(case when rn > 1 then 1 else 0 end) >= count(*)
+                then 1 else 0 end::bigint as quarantined
+    from r group by source order by source
+"""
+
+
+@_q("host_dup_stats", _HOSTDUP_SQL)
+def host_dup_stats(spark, sf_dir):
+    """The corpus-level oracle twin of the engine's mirror quarantine
+    (:class:`frontier.CrawlEngine` ``mirror_guard``): per source, how
+    many documents are exact-content duplicates of an EARLIER document
+    anywhere in the corpus (first occurrence wins, ordered by doc_id —
+    the batch analog of the crawl's fetch_seq order), and whether the
+    cumulative ratio trips the same integer quarantine rule
+    (n_docs >= 4, 2*n_dup >= n_docs).  Lets a curation report and the
+    live crawl scheduler agree on which hosts are mirrors.
+
+    Scale shape: one window rank over the content-hash key (the
+    standard first-occurrence dedup shuffle, same key distribution as
+    dedup_exact) followed by a map-side-combined per-source rollup;
+    md5 keeps the hash portable across engines, the engine itself uses
+    xxhash64."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", F.md5("text").alias("ch"))
+    r = h.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("ch").orderBy("doc_id")),
+    )
+    dup = (F.col("rn") > 1).cast("long")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            F.expr(
+                "(1000 * sum(case when rn > 1 then 1 else 0 end))"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("dup_permille"),
+            F.when(
+                (F.count("*") >= 4) & (2 * F.sum(dup) >= F.count("*")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("quarantined"),
+        )
+        .orderBy("source")
+    )

@@ -990,3 +990,30 @@ def test_bigram_pmi_hand_case(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r["w1"], r["w2"], r["c_ab"], r["pmi_bits"]) == ("x", "y", 5, 1)
+
+
+def test_host_dup_stats_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import host_dup_stats
+
+    # _docs_dir: doc i -> src{i % 20}.  Build src0 as a mirror: docs 0,
+    # 20, 40, 60 where 20/40/60 copy doc 0's text and doc 60 copies doc
+    # 21's (src1) text?  Simpler: 4 docs on src0 (0,20,40,60): 0 unique,
+    # 20 and 40 copy doc 0 -> dups, 60 unique => n_docs=4, n_dup=2,
+    # quarantined (2*2 >= 4).  src1 (doc 1, 21): doc 21 copies doc 1 ->
+    # n_docs=2 n_dup=1, NOT quarantined (n_docs < 4 min guard).
+    rows = []
+    for i in range(61):
+        rows.append((f"filler text {i}", "en"))
+    rows[0] = ("the mirrored page", "en")
+    rows[20] = ("the mirrored page", "en")
+    rows[40] = ("the mirrored page", "en")
+    rows[60] = ("unique tail page", "en")
+    rows[1] = ("src one page", "en")
+    rows[21] = ("src one page", "en")
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["source"]: r for r in host_dup_stats(spark, sf).collect()}
+    assert got["src0"]["n_docs"] == 4 and got["src0"]["n_dup"] == 2
+    assert got["src0"]["dup_permille"] == 500
+    assert got["src0"]["quarantined"] == 1
+    assert got["src1"]["n_docs"] == 3 and got["src1"]["n_dup"] == 1
+    assert got["src1"]["quarantined"] == 0  # under the n_docs >= 4 guard
