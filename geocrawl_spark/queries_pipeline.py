@@ -2192,7 +2192,15 @@ def hits_integer(
     """Reusable integer HITS core: ``hosts(host)``, ``edges(u, v)`` ->
     ``(host, authority, hub)`` — usable on the engine's REAL logged link
     graph exactly like :func:`pagerank_integer`
-    (``CrawlEngine(log_links=True)`` -> ``host_link_graph()`` -> here)."""
+    (``CrawlEngine(log_links=True)`` -> ``host_link_graph()`` -> here).
+
+    ``hosts`` and ``edges`` are materialized once (lazy localCheckpoint)
+    before the loop: each is referenced in every one of the 2*iters
+    half-steps, and an upstream shuffle (host_hits' distinct over the
+    synthetic edge union) would otherwise re-execute per reference —
+    the _cc_min_label lesson."""
+    hosts = hosts.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
     s = _PR_SCALE
     nn = hosts.agg(F.count("*").cast("long").alias("nn"))
     h = hosts.crossJoin(F.broadcast(nn)).select(
@@ -2231,7 +2239,13 @@ def hits_integer(
                 .cast("long")
                 .alias("h"),
             )
+            # truncate lineage per iteration: the score vectors are
+            # |hosts| rows, but an un-truncated 2*iters-deep join chain
+            # (each level carrying two broadcast-agg crossJoins) pays
+            # superlinear analysis+codegen cost by the last iteration
+            .localCheckpoint(eager=False)
         )
+        a = a.localCheckpoint(eager=False)
     return (
         hosts.join(a, "host")
         .join(h, "host")
