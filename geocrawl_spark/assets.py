@@ -32,6 +32,13 @@ PAGE_EXT_RE = r"(/|\.html?)$"
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
 _HREF_RE = r'href="([^"]+)"'
+#: href attr + (optionally) the rest of its tag and the visible text up
+#: to the next tag — the anchor-text capture unit.  The tail is OPTIONAL
+#: so the href-match sequence is exactly :data:`_HREF_RE`'s (same
+#: mandatory prefix; the tail stops at the next '<' so it can never
+#: swallow a later href) — link admission is identical whether links are
+#: logged with anchors or not, asserted by test_assets_anchor_parity.
+_ANCHOR_SNIPPET_RE = r'href="[^"]+"(?:[^>]*>[^<]*)?'
 
 
 # ---------------------------------------------------------------------------
@@ -50,6 +57,21 @@ def extract_text_py(html: bytes) -> str:
 def extract_links_py(html: bytes) -> list[str]:
     s = html.decode("utf-8", errors="replace")
     return re.findall(_HREF_RE, s)
+
+
+def extract_link_anchors_py(html: bytes) -> list[tuple[str, str]]:
+    """(href, anchor) pairs — href sequence identical to
+    :func:`extract_links_py` by the :data:`_ANCHOR_SNIPPET_RE` contract;
+    anchor text is tag-free visible text normalized exactly like
+    :func:`extract_text_py` (whitespace collapsed, stripped)."""
+    s = html.decode("utf-8", errors="replace")
+    out = []
+    for snip in re.findall(_ANCHOR_SNIPPET_RE, s):
+        href = re.match(r'href="([^"]+)"', snip).group(1)
+        m = re.search(r">([^<]*)$", snip)
+        anchor = _WS_RE.sub(" ", m.group(1)).strip() if m else ""
+        out.append((href, anchor))
+    return out
 
 
 def resolve_href_py(base_url: str, href: str) -> str:
@@ -99,6 +121,27 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(ArrayType(StringType()))
 def extract_links_udf(html: pd.Series) -> pd.Series:
     return _decode_utf8(html).str.findall(_HREF_RE)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_anchor_snippets_udf(html: pd.Series) -> pd.Series:
+    """Raw ``href="..."...>anchor`` snippets (one C-level findall, no
+    per-row Python); href/anchor are parsed out JVM-side with
+    :func:`anchor_fields` after the explode, so the anchor-logging path
+    stays as vectorized as the plain link path."""
+    return _decode_utf8(html).str.findall(_ANCHOR_SNIPPET_RE)
+
+
+def anchor_fields(snippet: Column) -> tuple[Column, Column]:
+    """(href, anchor) columns from one exploded snippet — anchor
+    normalized exactly like extract_text (collapse whitespace, trim)."""
+    href = F.regexp_extract(snippet, r'href="([^"]+)"', 1)
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(snippet, r">([^<]*)$", 1), r"\s+", " "
+        )
+    )
+    return href, anchor
 
 
 def resolve_href_expr(base_url: Column, href: Column) -> Column:

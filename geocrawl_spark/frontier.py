@@ -1000,11 +1000,37 @@ class CrawlEngine:
                 self._mark(marks, "extract_submit")
 
                 # --- link fan-out: page + asset candidates in one pass -------
-                links = (
-                    got.select("url", "depth", F.explode(A.extract_links_udf("html")).alias("href"))
-                    .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
-                    .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
-                )
+                if self.log_links:
+                    # anchor-logging variant: ONE findall over raw snippets
+                    # (the href sequence is contractually identical to
+                    # extract_links_udf's — _ANCHOR_SNIPPET_RE), href and
+                    # anchor text parsed JVM-side post-explode, so link
+                    # admission is byte-identical to the plain path while
+                    # the log gains the classic ranking signal
+                    snips = got.select(
+                        "url",
+                        "depth",
+                        F.explode(A.extract_anchor_snippets_udf("html")).alias("s"),
+                    )
+                    href_c, anchor_c = A.anchor_fields(F.col("s"))
+                    links = (
+                        snips.select(
+                            "url",
+                            "depth",
+                            href_c.alias("href"),
+                            anchor_c.alias("anchor"),
+                        )
+                        .withColumn(
+                            "abs_url", A.resolve_href_expr(F.col("url"), F.col("href"))
+                        )
+                        .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
+                    )
+                else:
+                    links = (
+                        got.select("url", "depth", F.explode(A.extract_links_udf("html")).alias("href"))
+                        .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
+                        .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
+                    )
                 kinded = links.withColumn(
                     "kind",
                     F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
@@ -1023,6 +1049,7 @@ class CrawlEngine:
                                 F.col("url").alias("src_url"),
                                 F.col("canon").alias("dst_url"),
                                 "kind",
+                                "anchor",
                             ),
                             "links",
                             round_no,
@@ -1505,6 +1532,40 @@ def host_link_graph(spark: SparkSession, io: TableIO) -> DataFrame | None:
         host_expr(F.col("src_url")).alias("u"),
         host_expr(F.col("dst_url")).alias("v"),
     ).distinct()
+
+
+def anchor_terms(
+    spark: SparkSession, io: TableIO, k: int = 5
+) -> DataFrame | None:
+    """Top-k anchor-text terms per DESTINATION host from the opt-in
+    ``links`` log — the classic off-page relevance signal (what OTHER
+    pages call a host; the BM25F anchor field, Robertson et al.):
+    ``(host, term, n, rank)`` with rank by (count desc, term) within
+    host.  Deterministic integer counts; returns None when no round
+    logged links.
+
+    Scale shape: explode + one map-side-combined groupBy on
+    (host, term) + a per-host top-k window — the host partition is the
+    same politeness-sized unit as everywhere else in the engine, and the
+    term dimension is Zipf-bounded."""
+    links = read_all_rounds(spark, io, "links")
+    if links is None or "anchor" not in links.columns:
+        return None
+    t = (
+        links.select(
+            host_expr(F.col("dst_url")).alias("host"),
+            F.explode(F.split(F.lower("anchor"), " ")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("host", "term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        t.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("host", "rank")
+    )
 
 
 def read_all_rounds(spark: SparkSession, io: TableIO, name: str) -> DataFrame | None:

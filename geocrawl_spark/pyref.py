@@ -17,7 +17,7 @@ import hashlib
 import pandas as pd
 
 from .assets import (
-    extract_links_py,
+    extract_link_anchors_py,
     extract_text_py,
     is_asset_py,
     is_page_py,
@@ -129,7 +129,8 @@ class PyRefCrawl:
         self.admitted: list[tuple[str, str]] = []
         self.crawl_order: list[tuple[int, int, str]] = []
         self.extracted: dict[str, str] = {}  # url -> extracted text
-        self.links: list[tuple[str, str, str]] = []  # (src, dst, kind) edges
+        # (src, dst, kind, anchor) edges — anchor twin of the engine's log
+        self.links: list[tuple[str, str, str, str]] = []
         self.metadata: list[dict] = []
         self.dead_letters: list[tuple[str, int]] = []
         self.counters_log: list[dict] = []
@@ -325,7 +326,7 @@ class PyRefCrawl:
                 rq = round_qual.setdefault(row["host"], [0, 0])
                 rq[0] += len(self.extracted[row["url"]])
                 rq[1] += 1
-            for href in extract_links_py(html):
+            for href, anchor in extract_link_anchors_py(html):
                 canon = canonicalize_url(resolve_href_py(row["url"], href))
                 d = row["depth"] + 1
                 if is_page_py(canon):
@@ -335,8 +336,11 @@ class PyRefCrawl:
                 else:
                     continue
                 # twin of the engine's opt-in links log: every extracted
-                # (src, dst, kind) edge occurrence, pre-admission-dedup
-                self.links.append((row["url"], canon, kind))
+                # (src, dst, kind, anchor) edge occurrence, pre-
+                # admission-dedup (href sequence == extract_links_py's
+                # by the _ANCHOR_SNIPPET_RE contract, so admission is
+                # unchanged)
+                self.links.append((row["url"], canon, kind, anchor))
                 if canon not in cands or d < cands[canon][0]:
                     cands[canon] = (d, kind)
 

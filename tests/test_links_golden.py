@@ -52,12 +52,67 @@ def test_links_log_identical(runs):
     assert eng.crawl_order() == ref.crawl_order  # link logging is a no-op
     df = read_all_rounds(eng.spark, eng.io, "links")
     got = sorted(
-        (r["src_url"], r["dst_url"], r["kind"]) for r in df.collect()
+        (r["src_url"], r["dst_url"], r["kind"], r["anchor"])
+        for r in df.collect()
     )
     want = sorted(ref.links)
     assert got == want and len(got) > 100
+    # anchors carry real text (synth pages label their links)
+    assert any(a for _, _, _, a in got)
     # duplicates preserved: the log is every occurrence, not a set
-    assert len(got) > len(set(got))
+    # (project out the anchor — distinct labels on repeated edges)
+    assert len(got) > len({(s, d, k) for s, d, k, _ in got})
+
+
+def test_anchor_snippet_href_parity():
+    """The _ANCHOR_SNIPPET_RE contract: the href sequence extracted with
+    anchors must equal extract_links_py's exactly — including on a page
+    truncated mid-tag (the optional-tail case) — or link admission would
+    differ between logging and non-logging engines."""
+    from geocrawl_spark.assets import extract_link_anchors_py, extract_links_py
+
+    for i, p in enumerate(synth.gen_pages(120, 7).itertuples()):
+        html = p.html if isinstance(p.html, bytes) else bytes(p.html)
+        pairs = extract_link_anchors_py(html)
+        assert [h for h, _ in pairs] == extract_links_py(html), p.url
+    truncated = b'<html><a href="/x.html">text</a>\n<a href="/y.html"'
+    pairs = extract_link_anchors_py(truncated)
+    assert [h for h, _ in pairs] == extract_links_py(truncated)
+    assert pairs == [("/x.html", "text"), ("/y.html", "")]
+    messy = b'<a  href="/a/">  spaced \n anchor </a><link href="/c.css"/>'
+    assert extract_link_anchors_py(messy) == [
+        ("/a/", "spaced anchor"),
+        ("/c.css", ""),
+    ]
+
+
+def test_anchor_terms_rollup(runs):
+    """anchor_terms == a serial recount over the pyref twin's edge log:
+    per-dst-host lowercased whitespace terms, top-5 by (count desc,
+    term)."""
+    from collections import Counter
+
+    from geocrawl_spark.canon import host_of
+    from geocrawl_spark.frontier import anchor_terms
+
+    eng, ref = runs
+    counts: dict = {}
+    for _, dst, _, anchor in ref.links:
+        h = host_of(dst)
+        for term in anchor.lower().split(" "):
+            if term:
+                counts.setdefault(h, Counter())[term] += 1
+    want = []
+    for h in sorted(counts):
+        top = sorted(counts[h].items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        want += [
+            (h, t, n, i + 1) for i, (t, n) in enumerate(top)
+        ]
+    got = [
+        (r["host"], r["term"], r["n"], r["rank"])
+        for r in anchor_terms(eng.spark, eng.io, k=5).collect()
+    ]
+    assert got == want and len(got) > 0
 
 
 def test_real_edge_pagerank(runs):
