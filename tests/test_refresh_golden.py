@@ -263,3 +263,100 @@ def test_refresh_resume_new_engine(spark, fixtures, tmp_path_factory):
         r += 1
     assert eng2.crawl_order() == _frontier_order(ref)
     assert eng2.seen_urls() == ref.seen_urls()
+
+
+def test_refresh_mirror_distinguishes_changed_content(
+    spark, fixtures, tmp_path_factory
+):
+    """mirror_guard x set_pages x refresh: a re-fetch serving UNCHANGED
+    content is a dup (its hash is already in the content store), while a
+    page whose html actually changed hashes fresh — so the hostdup delta
+    across the refresh rounds counts exactly the unchanged re-fetches,
+    on both the engine and the pyref twin.  This is the change-rate
+    reading of the mirror stats the docstrings promise."""
+    from geocrawl_spark.assets import extract_text_py
+    from geocrawl_spark.canon import host_of
+
+    ref = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], fixtures["robots"],
+        fixtures["budget"], mirror_guard=True,
+    )
+    ref.run(max_rounds=50)
+    d = tmp_path_factory.mktemp("refresh_mirror")
+    eng = CrawlEngine(
+        spark,
+        pages=spark.createDataFrame(
+            fixtures["pages"],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ),
+        seeds=spark.createDataFrame(fixtures["seeds"]),
+        robots=spark.createDataFrame(
+            fixtures["robots"],
+            "host string, disallow array<string>, allow array<string>",
+        ),
+        hostbudget=spark.createDataFrame(fixtures["budget"]),
+        base_dir=str(d),
+        mode="exact",
+        n_shards=4,
+        salt=4,
+        m_bits=1 << 18,
+        k=7,
+        mirror_guard=True,
+    )
+    eng.run(max_rounds=50)
+    assert eng.crawl_order() == ref.crawl_order
+    r_drain = eng.io.latest_round()
+    base_dup = {
+        r["host"]: (r["n_fetched"], r["n_dup"])
+        for r in eng.io.read_table(spark, "hostdup", r_drain).collect()
+    }
+
+    fetched = sorted({u for _, _, u in ref.crawl_order})
+    sel = fetched[::4][:6]
+    changed = sel[::2]   # every other refreshed url gets new content
+    unchanged = [u for u in sel if u not in changed]
+
+    v2 = fixtures["pages"].copy(deep=True)
+    mask = v2["url"].isin(changed)
+    v2.loc[mask, "html"] = v2.loc[mask, "html"].map(
+        lambda b: b.decode("utf-8")
+        .replace("</body>", "<p>rev2</p>\n</body>")
+        .encode("utf-8")
+    )
+    v2.loc[mask, "text"] = v2.loc[mask, "html"].map(extract_text_py)
+    ref.set_pages(v2)
+    eng.set_pages(
+        spark.createDataFrame(
+            v2, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+    )
+    n_ref = ref.refresh(sel)
+    n_eng = eng.refresh(spark.createDataFrame([(u,) for u in sel], "url string"))
+    assert n_eng == n_ref == len(sel)
+
+    r_commit = eng.io.latest_round()
+    eng.run(max_rounds=30)
+    r = eng.io.latest_round()
+    rr = r_commit + 1
+    while ref.run_round(rr) is not None:
+        rr += 1
+    final = {
+        row["host"]: (row["n_fetched"], row["n_dup"])
+        for row in eng.io.read_table(spark, "hostdup", r).collect()
+    }
+    # engine == twin on the cumulative stats
+    assert final == {h: tuple(v) for h, v in ref.mirror.items()}
+    # the delta across the refresh: every re-fetch counts as fetched,
+    # but ONLY the unchanged ones count as dups
+    want_delta: dict = {}
+    for u in sel:
+        h = host_of(u)
+        df_, dd_ = want_delta.get(h, (0, 0))
+        want_delta[h] = (df_ + 1, dd_ + (1 if u in unchanged else 0))
+    got_delta = {
+        h: (nf - base_dup.get(h, (0, 0))[0], nd - base_dup.get(h, (0, 0))[1])
+        for h, (nf, nd) in final.items()
+        if (nf, nd) != base_dup.get(h, (0, 0))
+    }
+    assert got_delta == want_delta
+    assert sum(d for _, d in got_delta.values()) == len(unchanged)
