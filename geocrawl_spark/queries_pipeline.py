@@ -3123,3 +3123,68 @@ def host_dup_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_LANG_CONF_SQL = """
+    with g as (
+      select lang,
+        case
+          when len(list_filter(string_split(text, ' '),
+                   w -> w in ('the', 'a', 'and', 'of'))) >= 2 then 'en'
+          when len(list_filter(string_split(text, ' '),
+                   w -> w in ('el', 'la', 'de', 'y'))) >= 2 then 'es'
+          else 'unknown' end as guess
+      from documents
+    ),
+    per as (select lang, guess, count(*)::bigint as n from g group by 1, 2),
+    tot as (select lang, sum(n)::bigint as lang_docs from per group by 1)
+    select per.lang, per.guess, per.n, tot.lang_docs,
+           ((1000 * per.n) // tot.lang_docs)::bigint as permille
+    from per join tot using (lang)
+    order by lang, guess
+"""
+
+
+@_q("langid_confusion", _LANG_CONF_SQL)
+def langid_confusion(spark, sf_dir):
+    """Label-noise audit: the confusion matrix between the corpus's
+    DECLARED ``lang`` column (crawl-time metadata — often wrong in real
+    webtext) and the stopword-heuristic prediction
+    (:func:`queries_ml.langid_heuristic`'s rule).  An off-diagonal cell
+    with high per-mille is either a systematically mislabeled source or
+    a language the heuristic can't see — both are things a mixing
+    recipe must know before trusting per-language quotas
+    (perplexity_bucket_assign, quality_mixture_sample, and
+    token_shard_assign all stratify on ``lang``).
+
+    Scale shape: one per-row projection (the stopword filters fuse into
+    the scan's codegen span) and two tiny aggregates over at most
+    |langs| x |guesses| cells."""
+    d = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    en = F.size(F.filter(words, lambda w: w.isin("the", "a", "and", "of")))
+    es = F.size(F.filter(words, lambda w: w.isin("el", "la", "de", "y")))
+    guess = (
+        F.when(en >= 2, F.lit("en"))
+        .when(es >= 2, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    per = (
+        d.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("lang_docs")
+    )
+    return (
+        per.join(tot, "lang")
+        .select(
+            "lang",
+            "guess",
+            "n",
+            "lang_docs",
+            F.expr("(1000 * n) div lang_docs").cast("long").alias("permille"),
+        )
+        .orderBy("lang", "guess")
+    )

@@ -1017,3 +1017,23 @@ def test_host_dup_stats_hand_case(spark, tmp_path):
     assert got["src0"]["quarantined"] == 1
     assert got["src1"]["n_docs"] == 3 and got["src1"]["n_dup"] == 1
     assert got["src1"]["quarantined"] == 0  # under the n_docs >= 4 guard
+
+
+def test_langid_confusion_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import langid_confusion
+
+    rows = [
+        ("the cat and the hat", "en"),        # en guessed en
+        ("el gato y la casa", "en"),          # mislabeled: en -> es
+        ("xyzzy plugh", "de"),                # de -> unknown
+        ("the dog of a man", "en"),           # en guessed en
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {
+        (r["lang"], r["guess"]): (r["n"], r["lang_docs"], r["permille"])
+        for r in langid_confusion(spark, sf).collect()
+    }
+    assert got[("en", "en")] == (2, 3, 666)
+    assert got[("en", "es")] == (1, 3, 333)
+    assert got[("de", "unknown")] == (1, 1, 1000)
+    assert set(got) == {("en", "en"), ("en", "es"), ("de", "unknown")}
