@@ -3015,8 +3015,14 @@ def bigram_pmi_top(spark, sf_dir):
     out (Spark's sequence(1, 0) DESCENDS — never generate it)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
-    n_tot = toks.agg(F.count("*").cast("long").alias("n"))
+    # materialized once: referenced by N (sum of counts — no second token
+    # scan), and both sides of the bigram join
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n"))
     dw = d.select(_words(F.col("text")).alias("ws")).filter(F.size("ws") >= 2)
     bi = dw.select(
         F.explode(
@@ -3029,7 +3035,13 @@ def bigram_pmi_top(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bc = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_ab"))
+    # materialized once: nb (the pre-filter total) and the filtered table
+    # both read it — without this the corpus-wide bigram shuffle re-runs
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
     nb = bc.agg(F.sum("c_ab").cast("long").alias("nb"))
     f = bc.filter(F.col("c_ab") >= _PMI_MIN_C)
     ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
@@ -3174,11 +3186,14 @@ def langid_confusion(spark, sf_dir):
         .groupBy("lang", "guess")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    tot = per.groupBy("lang").agg(
-        F.sum("n").cast("long").alias("lang_docs")
-    )
+    # lang_docs as a window over the ALREADY-AGGREGATED cells (at most
+    # |langs| x |guesses| rows): one corpus scan total — a groupBy+join
+    # re-derivation would scan and re-project the corpus twice
     return (
-        per.join(tot, "lang")
+        per.withColumn(
+            "lang_docs",
+            F.sum("n").over(Window.partitionBy("lang")).cast("long"),
+        )
         .select(
             "lang",
             "guess",
