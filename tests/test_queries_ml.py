@@ -160,3 +160,22 @@ def test_dedup_containment_bounds(spark):
         assert _CONTAIN_PPM <= r["containment_ppm"] <= 1_000_000
         assert 0 < r["jaccard_ppm"] <= r["containment_ppm"]
         assert r["doc_sub"] != r["doc_sup"]
+
+
+def test_gemm_blocking_invariant(spark, monkeypatch):
+    """The blocked-GEMM all-pairs result is independent of the block
+    count: 16-vector blocks (32 blocks at sf0.001, exercising diagonal
+    AND off-diagonal tiles plus the least/greatest routing) emit exactly
+    the single-tile rows.  Guards the replication logic — a pair routed
+    to zero or two groups would show up as a missing or duplicated row."""
+    import geocrawl_spark.queries_ml as QM
+
+    one = sorted(
+        map(tuple, QM.dedup_embedding_cosine(spark, SF001).collect())
+    )
+    monkeypatch.setattr(QM, "_GEMM_BLOCK", 16)
+    many = sorted(
+        map(tuple, QM.dedup_embedding_cosine(spark, SF001).collect())
+    )
+    assert len(one) > 0
+    assert many == one
