@@ -541,34 +541,65 @@ def _ivf_assign_ranked(
     hazard entirely for that query) — and an emptied cluster keeps its
     previous centroid.
 
-    Scale shape: centroids stay a k-row DataFrame that is BROADCAST into
-    the scoring cross join; the mean recomputation is a (cid, dim) groupBy
-    whose output is k x dim rows.  No driver collect, no all-pairs join —
-    per Lloyd step the corpus is scanned once.  With K = n/TARGET the
-    flat assignment scan is O(n * K) dot products; the production
-    refinement at 10^9+ vectors is standard IVF practice — train on a
-    bounded SAMPLE and assign via a coarse quantizer over the centroids —
-    which changes only this helper, not the bucketed join downstream.
+    Scale shape: the centroid table stays K rows (K = corpus/TARGET,
+    footer-derived); each Lloyd step collects it to the driver — a
+    K-bounded action, the same size class as broadcasting it — and scores
+    the corpus against it as ONE float64 GEMM per Arrow batch inside
+    ``mapInPandas`` (closure-captured ``k x dim`` matrix), not a Catalyst
+    fold per (vector, centroid).  The raw scores return to the JVM where
+    the 6dp ROUND and the ranking window run unchanged — the
+    parity-sensitive arithmetic (rounding mode, tie order, mean
+    recomputation) is byte-for-byte the pre-GEMM plan; only the dot
+    products moved to BLAS (ulp-level summation-order differences, which
+    the 6dp round was already absorbing between Spark and DuckDB).  The
+    mean recomputation is a (cid, dim) groupBy whose output is k x dim
+    rows.  With K = n/TARGET the flat assignment scan is O(n * K) dot
+    products and K grows with the corpus; the production refinement at
+    10^9+ vectors is standard IVF practice — train on a bounded SAMPLE
+    and assign via a coarse quantizer over the centroids — which changes
+    only this helper (and caps the collected K), not the bucketed join
+    downstream.
     """
-    cent = n.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
+    import numpy as np
+    import pandas as pd
 
-    def ranked(c):
-        scored = n.crossJoin(F.broadcast(c)).select(
-            "vec_id",
-            "cid",
-            F.round(
-                _dot(F.col("e"), F.col("ce"))
-                / (F.col("nrm") * F.sqrt(_dot(F.col("ce"), F.col("ce")))),
-                6,
-            ).alias("c_cos"),
-        )
+    def ranked(C: "np.ndarray", cids: "np.ndarray"):
+        cnrm = np.sqrt((C * C).sum(axis=1))
+        kk = len(cids)
+
+        def score(batches):
+            for pdf in batches:
+                M = np.array(pdf["e"].tolist(), dtype=np.float64)
+                S = (M @ C.T) / np.outer(pdf["nrm"].to_numpy(), cnrm)
+                yield pd.DataFrame({
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), kk),
+                    "cid": np.tile(cids, len(pdf)),
+                    "c_raw": S.ravel(),
+                })
+
+        scored = n.select("vec_id", "e", "nrm").mapInPandas(
+            score, schema="vec_id long, cid long, c_raw double"
+        ).select("vec_id", "cid", F.round("c_raw", 6).alias("c_cos"))
         w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
         return scored.withColumn("rk", F.row_number().over(w))
 
+    # training runs `iters` scoring + mean passes over n — pin it so an
+    # expensive upstream (media feature extraction) materializes once;
+    # released before the final lazy ranking so nothing leaks past return
+    n = n.persist()
+    init = (
+        n.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .collect()
+    )
+    cents = {r["cid"]: list(r["ce"]) for r in init}
+    cids = np.array(sorted(cents), dtype=np.int64)
+
+    def _mat():
+        return np.array([cents[c] for c in cids], dtype=np.float64)
+
     for _ in range(iters):
-        assign = ranked(cent).filter(F.col("rk") == 1).select("vec_id", "cid")
+        assign = ranked(_mat(), cids).filter(F.col("rk") == 1).select("vec_id", "cid")
         means = (
             n.join(assign, "vec_id")
             .select("cid", F.posexplode("e").alias("dim", "val"))
@@ -582,10 +613,11 @@ def _ivf_assign_ranked(
                 ).alias("ce_new")
             )
         )
-        cent = cent.join(means, "cid", "left").select(
-            "cid", F.coalesce("ce_new", "ce").alias("ce")
-        )
-    return ranked(cent).select("vec_id", "cid", "rk")
+        # an emptied cluster keeps its previous centroid (left-join absent)
+        for r in means.collect():
+            cents[r["cid"]] = list(r["ce_new"])
+    n.unpersist()
+    return ranked(_mat(), cids).select("vec_id", "cid", "rk")
 
 
 def _ivf_sql_ctes(
