@@ -569,6 +569,8 @@ def _ivf_assign_ranked(
 
         def score(batches):
             for pdf in batches:
+                if pdf.empty:  # an empty Arrow batch would make M 1-D
+                    continue
                 M = np.array(pdf["e"].tolist(), dtype=np.float64)
                 S = (M @ C.T) / np.outer(pdf["nrm"].to_numpy(), cnrm)
                 yield pd.DataFrame({
