@@ -35,10 +35,18 @@ _HREF_RE = r'href="([^"]+)"'
 #: href attr + (optionally) the rest of its tag and the visible text up
 #: to the next tag — the anchor-text capture unit.  The tail is OPTIONAL
 #: so the href-match sequence is exactly :data:`_HREF_RE`'s (same
-#: mandatory prefix; the tail stops at the next '<' so it can never
-#: swallow a later href) — link admission is identical whether links are
-#: logged with anchors or not, asserted by test_assets_anchor_parity.
-_ANCHOR_SNIPPET_RE = r'href="[^"]+"(?:[^>]*>[^<]*)?'
+#: mandatory prefix), and BOTH tail segments are tempered with
+#: ``(?!href=")`` so the tail can never consume a later href occurrence
+#: — not in the tag remainder (duplicated/embedded href attributes) and
+#: not in the visible text (a literal ``href="..."`` in anchor text is
+#: an _HREF_RE match and must stay one).  When the temper cuts the tail
+#: short the group matches empty/short and findall resumes AT the next
+#: href, so link admission is identical whether links are logged with
+#: anchors or not, asserted by test_anchor_snippet_href_parity incl.
+#: adversarial pages.
+_ANCHOR_SNIPPET_RE = (
+    r'href="[^"]+"(?:(?:(?!href=")[^>])*>(?:(?!href=")[^<])*)?'
+)
 
 
 # ---------------------------------------------------------------------------
@@ -136,9 +144,12 @@ def anchor_fields(snippet: Column) -> tuple[Column, Column]:
     """(href, anchor) columns from one exploded snippet — anchor
     normalized exactly like extract_text (collapse whitespace, trim)."""
     href = F.regexp_extract(snippet, r'href="([^"]+)"', 1)
+    # (?U): Java \s is ASCII-only by default while the pyref twin's
+    # Python \s is Unicode-aware — without the flag a U+00A0 (nbsp,
+    # ubiquitous in real HTML) survives JVM-side but collapses py-side
     anchor = F.trim(
         F.regexp_replace(
-            F.regexp_extract(snippet, r">([^<]*)$", 1), r"\s+", " "
+            F.regexp_extract(snippet, r">([^<]*)$", 1), r"(?U)\s+", " "
         )
     )
     return href, anchor

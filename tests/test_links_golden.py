@@ -152,3 +152,57 @@ def test_real_edge_hits(runs):
     assert {h: (r["authority"], r["hub"]) for h, r in rows.items()} == {
         h: (r["authority"], r["hub"]) for h, r in again.items()
     }
+
+
+def test_anchor_snippet_href_parity_adversarial():
+    """Pages where a later href occurrence sits INSIDE the previous
+    tag's remainder or visible text (duplicated attribute, href embedded
+    in another attribute's value, literal href=\"...\" in anchor text):
+    the tempered snippet tail must stop before it so the href sequence —
+    i.e. link admission — still equals extract_links_py's exactly."""
+    from geocrawl_spark.assets import extract_link_anchors_py, extract_links_py
+
+    cases = [
+        b'<a href="a.html" data-x=\'href="b.html"\'>text</a>',
+        b'<a href="a.html">see href="b.html" here</a>',
+        b'<a href="a.html" href="c.html">dup</a>',
+        b'x href="" y <a href="r.html">ok</a>',
+        b'<a href="a.html" title="x>y">odd</a>',
+        b'<a href="a.html">t1</a><a href="b.html">t2</a> href="tail',
+    ]
+    for html in cases:
+        pairs = extract_link_anchors_py(html)
+        assert [h for h, _ in pairs] == extract_links_py(html), html
+
+
+def test_anchor_fields_jvm_matches_py(spark):
+    """anchor_fields (JVM regexp parse of an exploded snippet) must
+    produce the same (href, anchor) as the pyref twin's pure-Python
+    parse — including Unicode whitespace in anchor text (U+00A0/U+2009:
+    Java \\s is ASCII-only without (?U) while Python \\s is not)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from geocrawl_spark import assets as A
+
+    htmls = [
+        "<a href=\"/x\">a b</a>".encode(),
+        "<a href=\"/x\">  lead и trail  </a>".encode(),
+        b'<a href="a.html" data-x=\'href="b.html"\'>text</a>',
+        b'<a href="a.html">see href="b.html" here</a>',
+        b'<a  href="/a/">  spaced \n anchor </a><link href="/c.css"/>',
+    ]
+    expected = [p for h in htmls for p in A.extract_link_anchors_py(h)]
+    snippets = [
+        s
+        for h in htmls
+        for s in re.findall(A._ANCHOR_SNIPPET_RE, h.decode("utf-8"))
+    ]
+    df = spark.createDataFrame([(s,) for s in snippets], "s string")
+    href_c, anchor_c = A.anchor_fields(F.col("s"))
+    got = [
+        (r["h"], r["a"])
+        for r in df.select(href_c.alias("h"), anchor_c.alias("a")).collect()
+    ]
+    assert got == expected
