@@ -35,10 +35,12 @@ def corpus_documents(
     - ``doc_id``: ``xxhash64(url)`` — deterministic across resumes and
       re-runs (the engine guarantees one extracted row per url: the
       seen filter admits each canonical url once).  Collisions at
-      10^10 urls are ~3e-3 birthday-expected for the whole corpus —
-      acceptable for dedup keeper election (min(doc_id) just picks a
-      different keeper); pipelines needing certainty can swap in the
-      (round, fetch_seq) pair from ``crawl_log``.
+      10^10 urls are birthday-expected ~n^2/2^65 = ~2.7 for the whole
+      corpus — O(1) but NOT negligible at the design point, so
+      downstream must not assume doc_id uniqueness for correctness:
+      keeper election tolerates a collision (min(doc_id) just picks a
+      different keeper), but pipelines keying exact identity on doc_id
+      should swap in the (round, fetch_seq) pair from ``crawl_log``.
     - ``source``: the politeness host (:func:`canon.host_expr`) — the
       natural mixing stratum the reports (source_gini,
       topic_source_mix, host_quality_rollup) group by.

@@ -489,15 +489,19 @@ class CrawlEngine:
             .filter(F.col("carry") > 0)
         )
 
-    def _quality_rank_dim(self, round_no: int) -> DataFrame | None:
+    def _quality_rank_dim(
+        self, round_no: int, prev_qual: DataFrame | None
+    ) -> DataFrame | None:
         """Per-round prioritization dimension from the crawl's own content
-        quality: hostqual@(round_no-1) -> (host, rank) with rank =
+        quality: ``prev_qual`` (the hostqual@(round_no-1) read run_round
+        already holds — projecting it here avoids a second scan of the
+        same per-round table) -> (host, rank) with rank =
         min(PRIO_RANK_MAX, sum_chars div n_docs).  One row per fetched
         host — broadcast into discovery stamping, never a shuffle.  None
         for round 0 (no history yet: every host scores 0)."""
-        if not self.quality_rank or round_no == 0:
+        if not self.quality_rank or round_no == 0 or prev_qual is None:
             return None
-        return self.io.read_table(self.spark, "hostqual", round_no - 1).select(
+        return prev_qual.select(
             "host",
             F.least(
                 F.lit(pol.PRIO_RANK_MAX), F.expr("sum_chars div n_docs")
@@ -783,7 +787,7 @@ class CrawlEngine:
             if self.quality_rank
             else None
         )
-        rank_dim = self._quality_rank_dim(round_no)
+        rank_dim = self._quality_rank_dim(round_no, prev_qual)
         # trap-guard quarantine input: cumulative per-host trap stats
         # THROUGH round-1 (this round's discoveries update it for the
         # NEXT round — same one-round feedback lag as hosterr/hostqual)

@@ -69,20 +69,22 @@ def main():
             print(f"SKIP {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(osql[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(osql[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]  # from binding, no exec
+            drows = rel.fetchall()  # the ONE oracle execution
             # the DRIVER compares pandas materializations: a DuckDB
             # HUGEINT (e.g. un-cast sum(BIGINT)) silently becomes
             # float64 in fetchdf() and hashes 12.0 vs Spark's 12 even
             # when fetchall() values agree — the round-4
-            # hyperplane_bucket_stats failure mode.  Flag it here.
-            ddf = con.execute(osql[name]).fetchdf()
+            # hyperplane_bucket_stats failure mode.  Flag it from the
+            # bound logical types (a second fetchdf() execution used to
+            # double the gate's DuckDB wall clock).
             sdt = dict(zip(sdf.schema.names, (f.dataType.simpleString() for f in sdf.schema.fields)))
             drift = [
                 c
-                for c, dt in ddf.dtypes.astype(str).items()
-                if dt.startswith("float")
+                for c, dt in zip(dcols, dtypes)
+                if (dt in ("HUGEINT", "UHUGEINT") or dt.startswith("DECIMAL"))
                 and sdt.get(c) in ("bigint", "int", "smallint", "tinyint")
             ]
             if drift:

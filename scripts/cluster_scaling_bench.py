@@ -79,6 +79,16 @@ def _taskset(cores: str, cmd: list[str]) -> list[str]:
     return cmd
 
 
+def _worker_mem(exec_mem: str) -> str:
+    """Executor memory + 2g headroom in the worker's unit (g or m)."""
+    m = exec_mem.strip().lower()
+    if m.endswith("g") and m[:-1].isdigit():
+        return f"{int(m[:-1]) + 2}g"
+    if m.endswith("m") and m[:-1].isdigit():
+        return f"{int(m[:-1]) + 2048}m"
+    return "8g"  # unparsed: the historical fixed capacity
+
+
 def start_cluster(n_workers: int, exec_cores: int, exec_mem: str, scratch: str):
     env = _daemon_env(scratch)
     procs = []
@@ -99,7 +109,11 @@ def start_cluster(n_workers: int, exec_cores: int, exec_mem: str, scratch: str):
         w_cmd = _taskset(
             f"{lo}-{hi}",
             [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
-             MASTER_URL, "-c", str(exec_cores), "-m", "8g",
+             # worker capacity = executor memory + 2g JVM overhead head-
+             # room, so EXEC_MEM above the old fixed 8g can still launch
+             # (a worker smaller than spark.executor.memory never
+             # schedules the executor and the level hangs to timeout)
+             MASTER_URL, "-c", str(exec_cores), "-m", _worker_mem(exec_mem),
              "-h", MASTER_HOST, "--webui-port", str(8100 + i)],
         )
         procs.append(subprocess.Popen(
@@ -159,7 +173,15 @@ def run_level(n_exec: int, exec_cores: int, exec_mem: str, n_urls: int) -> dict:
         if not lines:
             sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:] + "\n")
             raise RuntimeError(f"no JSON line from bench at {n_exec} executors")
-        return json.loads(lines[-1])
+        # bench prints the FULL record then a slim last line (driver tail
+        # window); take the last line carrying the per-strategy map
+        for line in reversed(lines):
+            rec = json.loads(line)
+            if "urls_per_sec_by_strategy" in rec:
+                return rec
+        raise RuntimeError(
+            f"no full bench record (urls_per_sec_by_strategy) at {n_exec} executors"
+        )
     finally:
         stop_cluster(procs)
         shutil.rmtree(scratch, ignore_errors=True)

@@ -37,8 +37,13 @@ def run_at(cpus: int, n_urls: int) -> dict:
         env=env,
         timeout=int(os.environ.get("BENCH_LEVEL_TIMEOUT", "2400")),
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # bench prints the FULL record then a slim last line (driver tail
+    # window); take the last line that carries the per-strategy map
+    for line in reversed([l for l in out.stdout.splitlines() if l.startswith("{")]):
+        rec = json.loads(line)
+        if "urls_per_sec_by_strategy" in rec:
+            return rec
+    raise RuntimeError("no full bench record (urls_per_sec_by_strategy) in output")
 
 
 def main():
