@@ -521,11 +521,13 @@ def _vec_count(sf_dir: str, table: str, df: DataFrame) -> int:
 
 
 def _ivf_assign_ranked(
-    n: DataFrame, k: int, iters: int = _IVF_ITERS
+    n: DataFrame, k: int, iters: int = _IVF_ITERS, with_score: bool = False
 ) -> DataFrame:
     """(vec_id, e, nrm) -> (vec_id, cid, rk): per-vector centroid ranking
     under TRAINED centroids (rk=1 is cluster membership; rk<=p implements
-    multi-probe search).  ``k`` is the corpus-derived centroid count
+    multi-probe search).  ``with_score=True`` additionally returns the
+    6dp-rounded centroid cosine as ``c_cos`` (the SemDeDup keep-priority;
+    the DuckDB ``assign`` CTE exposes the identical column).  ``k`` is the corpus-derived centroid count
     (:func:`_ivf_k_of` of the vector count — callers read it from parquet
     footers via :func:`_vec_count`).
 
@@ -619,7 +621,8 @@ def _ivf_assign_ranked(
         for r in means.collect():
             cents[r["cid"]] = list(r["ce_new"])
     n.unpersist()
-    return ranked(_mat(), cids).select("vec_id", "cid", "rk")
+    cols = ["vec_id", "cid", "rk"] + (["c_cos"] if with_score else [])
+    return ranked(_mat(), cids).select(*cols)
 
 
 def _ivf_sql_ctes(
@@ -635,10 +638,14 @@ def _ivf_sql_ctes(
     ``k`` to pin a literal instead (tests)."""
 
     def score(cent: str) -> str:
+        cos6 = (
+            "round(list_dot_product(n.e, c.ce) / "
+            "(n.nrm * sqrt(list_dot_product(c.ce, c.ce))), 6)"
+        )
         return (
-            f"select n.vec_id, c.cid, row_number() over (partition by n.vec_id "
-            f"order by round(list_dot_product(n.e, c.ce) / "
-            f"(n.nrm * sqrt(list_dot_product(c.ce, c.ce))), 6) desc, c.cid) as rk "
+            f"select n.vec_id, c.cid, {cos6} as c_cos, "
+            f"row_number() over (partition by n.vec_id "
+            f"order by {cos6} desc, c.cid) as rk "
             f"from n cross join {cent} c"
         )
 
@@ -671,7 +678,9 @@ def _ivf_sql_ctes(
             f"from cent{i} c left join (select cid, list(mv order by dim) as ce "
             f"from m{i} group by cid) l using (cid))",
         ]
-    parts.append(f"assign as (select vec_id, cid, rk from ({score(f'cent{iters}')}))")
+    parts.append(
+        f"assign as (select vec_id, cid, rk, c_cos from ({score(f'cent{iters}')}))"
+    )
     return ",\n    ".join(parts)
 
 
@@ -1471,4 +1480,102 @@ def ivf_bucket_stats(spark, sf_dir):
         cnt.alias("n_vectors"),
         F.least(cnt, cap).alias("n_kept"),
         F.greatest(cnt - cap, F.lit(0).cast("long")).alias("n_dropped"),
+    )
+
+
+#: SemDeDup pairwise-cosine prune threshold.  The synthetic corpus's
+#: near-dup families sit well above it (same family band as
+#: dedup_embedding_bucketed's 0.4); a production run of the published
+#: recipe uses ~0.95+ on real encoder embeddings.
+_SEMDEDUP_EPS = 0.4
+
+
+@_q(
+    "semdedup_prune",
+    f"""
+    with {_ivf_sql_ctes()},
+    {_na_capped_sql()},
+    m as (
+      select na.vec_id, na.e, na.nrm, na.cid,
+             cast(round(a.c_cos * 1000000) as bigint) as c_micro
+      from na join assign a using (vec_id) where a.rk = 1
+    ),
+    pr as (
+      select distinct b.vec_id
+      from m a join m b using (cid)
+      where a.vec_id != b.vec_id
+        and round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 3)
+              >= {_SEMDEDUP_EPS}
+        and (a.c_micro < b.c_micro
+             or (a.c_micro = b.c_micro and a.vec_id < b.vec_id))
+    )
+    select m.vec_id, m.cid, m.c_micro,
+           (case when pr.vec_id is null then 1 else 0 end)::bigint as kept
+    from m left join pr using (vec_id)
+    """,
+)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as a pipeline
+    operator: k-means-cluster the embeddings (the corpus-scaled trained
+    IVF this family shares), then WITHIN each cluster prune every vector
+    that has a near-duplicate (pairwise cosine >= eps, compared on the
+    3dp-rounded value in both engines) of LOWER keep-priority — the paper
+    keeps the member farthest from its centroid, so priority is the
+    6dp centroid cosine quantized to micro-units (exact BIGINT both
+    engines, the hyperplane_bucket_stats portability lesson), ties broken
+    by vec_id.  Output is the full capped membership with a kept flag —
+    the semantic-dedup analog of dedup_exact's keeper column, and the
+    mixture-shaping primitive (prune rate per cluster) of the published
+    recipe.
+
+    Scale shape: identical to :func:`dedup_embedding_bucketed` — the
+    pair join is an equi-join on cid generating O(n * TARGET_BUCKET)
+    pairs (never quadratic; skewed buckets fenced by the cap, drops
+    reported by :func:`ivf_bucket_stats`), the prune set is a distinct on
+    the loser side, and the final flag is a left join of membership
+    against that (broadcast-sized: |pruned| <= n).  Centroid training is
+    the shared :func:`_ivf_assign_ranked` GEMM pass."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    k = _ivf_k_of(_vec_count(sf_dir, "embeddings", e))
+    assign = _ivf_assign_ranked(n, k, with_score=True).filter(F.col("rk") == 1)
+    members = _bucket_capped(
+        n.join(
+            assign.select(
+                "vec_id",
+                "cid",
+                F.round(F.col("c_cos") * 1e6).cast("long").alias("c_micro"),
+            ),
+            "vec_id",
+        )
+    )
+    a = members.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"),
+        F.col("nrm").alias("n_a"), F.col("c_micro").alias("ca"), "cid",
+    )
+    b = members.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"),
+        F.col("nrm").alias("n_b"), F.col("c_micro").alias("cb"), "cid",
+    )
+    cos3 = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("n_a") * F.col("n_b")), 3)
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(cos3 >= _SEMDEDUP_EPS)
+        .filter(
+            (F.col("ca") < F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return members.join(
+        pruned.withColumn("_p", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cid",
+        "c_micro",
+        F.when(F.col("_p").isNull(), 1).otherwise(0).cast("long").alias("kept"),
     )

@@ -179,3 +179,54 @@ def test_gemm_blocking_invariant(spark, monkeypatch):
     )
     assert len(one) > 0
     assert many == one
+
+
+def test_semdedup_kept_set_is_eps_independent(spark):
+    """SemDeDup contract at sf0.01: (1) the kept flag partitions the capped
+    membership; (2) no two KEPT members of one cluster are >= eps similar
+    (the whole point of the prune); (3) every PRUNED member has a
+    same-cluster dominator (>= eps neighbor of strictly lower priority);
+    (4) each cluster's minimum-(c_micro, vec_id) member is always kept."""
+    from geocrawl_spark.queries_ml import _SEMDEDUP_EPS, semdedup_prune
+
+    out = semdedup_prune(spark, SF01)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    e = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+    assert set(rows) == set(vecs)  # nothing capped away at this scale
+
+    import itertools
+    import math
+
+    def cos3(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 3)
+
+    by_cid: dict[int, list[int]] = {}
+    for vid, r in rows.items():
+        by_cid.setdefault(r["cid"], []).append(vid)
+
+    def prio(vid):
+        return (rows[vid]["c_micro"], vid)
+
+    n_pruned = 0
+    for cid, members in by_cid.items():
+        # (4) the cluster's minimum-priority member can never be dominated
+        assert rows[min(members, key=prio)]["kept"] == 1
+        for va, vb in itertools.combinations(sorted(members), 2):
+            if cos3(vecs[va], vecs[vb]) >= _SEMDEDUP_EPS:
+                # (2) at most one of a >=eps pair survives
+                assert rows[va]["kept"] + rows[vb]["kept"] <= 1
+        for vid in members:
+            if rows[vid]["kept"] == 0:
+                n_pruned += 1
+                # (3) a pruned member has a dominating >=eps neighbor
+                assert any(
+                    cos3(vecs[vid], vecs[u]) >= _SEMDEDUP_EPS
+                    and prio(u) < prio(vid)
+                    for u in members
+                    if u != vid
+                )
+    assert n_pruned > 0  # the synthetic corpus has near-dup families
