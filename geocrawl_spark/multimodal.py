@@ -100,3 +100,114 @@ def media_dedup(features: DataFrame) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.first("kind").alias("kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample (stub pixel ops, REAL Arrow batch plumbing)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, media binary, width int, height int, "
+    "src_width int, src_height int"
+)
+
+#: stub resample payload cap — a real codec writes out_w*out_h*channels;
+#: the deterministic fake truncates so test media stay small
+_RESIZE_PAYLOAD_CAP = 4096
+
+
+def _fit_box(w: int, h: int, max_px: int) -> tuple[int, int]:
+    """Integer fit-within-box dims (aspect preserved, floor division,
+    never below 1).  Pure integer math so the DuckDB oracle twin computes
+    the identical dims."""
+    m = max(w, h)
+    if m <= max_px:
+        return w, h
+    return max(1, w * max_px // m), max(1, h * max_px // m)
+
+
+def resize_media(df: DataFrame, max_px: int = 256) -> DataFrame:
+    """Downscale media to fit ``max_px`` on the long edge.
+
+    The pixel resample is the documented deterministic stub (payload =
+    sha256 keystream of the source bytes, truncated to
+    ``min(out_w*out_h*3, _RESIZE_PAYLOAD_CAP)``); the dataflow is the
+    production shape — Arrow-batched ``mapInPandas`` streaming batches
+    through the iterator, binary in / binary out, dims computed in exact
+    integer math (:func:`_fit_box`).  Input needs (media_id, kind, media,
+    width, height)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_w, out_h, blobs = [], [], []
+            for m, w, h in zip(pdf["media"], pdf["width"], pdf["height"]):
+                ow, oh = _fit_box(int(w), int(h), max_px)
+                out_w.append(ow)
+                out_h.append(oh)
+                n = min(ow * oh * 3, _RESIZE_PAYLOAD_CAP)
+                key = hashlib.sha256(m).digest()
+                blobs.append((key * (n // len(key) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "media": blobs,
+                    "width": np.array(out_w, dtype=np.int32),
+                    "height": np.array(out_h, dtype=np.int32),
+                    "src_width": pdf["width"].astype("int32"),
+                    "src_height": pdf["height"].astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms int, frame binary, frame_sha string"
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Sample video frames every ``every_ms`` — one OUTPUT ROW PER FRAME
+    (``mapInPandas`` with fan-out: output cardinality != input, the
+    explode-shaped batch contract).  Frames at ts = 0, every_ms, ... <=
+    duration_ms, so a clip yields ``duration_ms // every_ms + 1`` frames.
+
+    The frame decode is the deterministic stub: frame bytes/sha derive
+    from ``sha256(media_sha_hex + ':' + frame_idx)`` — portable enough
+    that a DuckDB oracle reproduces ``frame_sha`` exactly, which is what
+    makes the fan-out plumbing oracle-gateable.  Non-video rows emit
+    nothing (documented).  Input needs (media_id, kind, media,
+    duration_ms)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, blobs, shas = [], [], [], [], []
+            for mid, kind, m, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["media"], pdf["duration_ms"]
+            ):
+                if kind != "video" or dur is None or dur < 0:
+                    continue
+                hx = hashlib.sha256(m).hexdigest()
+                for i in range(int(dur) // every_ms + 1):
+                    key = f"{hx}:{i}".encode()
+                    d = hashlib.sha256(key)
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    blobs.append(d.digest())
+                    shas.append(d.hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": np.array(ids, dtype=np.int64),
+                        "frame_idx": np.array(idxs, dtype=np.int32),
+                        "ts_ms": np.array(tss, dtype=np.int32),
+                        "frame": blobs,
+                        "frame_sha": shas,
+                    }
+                )
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)

@@ -1579,3 +1579,117 @@ def semdedup_prune(spark, sf_dir):
         "c_micro",
         F.when(F.col("_p").isNull(), 1).otherwise(0).cast("long").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize / frame-sample plumbing as oracle-gated queries
+# ---------------------------------------------------------------------------
+
+#: deterministic source dims for the documents-as-media stand-in (the
+#: media_neardup idiom): derived from doc_id in exact integer math so the
+#: DuckDB twin computes identical inputs.
+_MEDIA_KIND_SQL = (
+    "case when doc_id % 3 = 0 then 'image' "
+    "when doc_id % 3 = 1 then 'audio' else 'video' end"
+)
+
+
+def _media_with_dims(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        (F.lit(320) + (F.col("doc_id") % 5) * 160).cast("int").alias("width"),
+        (F.lit(240) + (F.col("doc_id") % 3) * 120).cast("int").alias("height"),
+        F.col("n_chars").cast("int").alias("duration_ms"),
+    )
+
+
+@_q(
+    "media_resize_meta",
+    """
+    with med as (
+      select doc_id as media_id,
+             case when doc_id % 3 = 0 then 'image'
+                  when doc_id % 3 = 1 then 'audio' else 'video' end as kind,
+             320 + (doc_id % 5) * 160 as sw,
+             240 + (doc_id % 3) * 120 as sh
+      from documents
+    ),
+    r as (
+      select media_id, kind, sw, sh,
+             case when greatest(sw, sh) <= 256 then sw
+                  else greatest(1, sw * 256 // greatest(sw, sh)) end as w,
+             case when greatest(sw, sh) <= 256 then sh
+                  else greatest(1, sh * 256 // greatest(sw, sh)) end as h
+      from med
+    )
+    select media_id, kind, sw::int as src_width, sh::int as src_height,
+           w::int as width, h::int as height,
+           least(w * h * 3, 4096)::bigint as n_bytes
+    from r
+    """,
+)
+def media_resize_meta(spark, sf_dir):
+    """Image/video RESIZE through the real multimodal dataflow
+    (:func:`multimodal.resize_media`): binary media stream through an
+    Arrow-batched ``mapInPandas``, dims fit to a 256px box in exact
+    integer math, stub resample payload written back as a binary column
+    whose length (``min(w*h*3, cap)``) the oracle checks — pixel math is
+    the documented container-forced stub, byte/batch plumbing is the
+    production path.  Source dims derive from doc_id so both engines
+    compute identical inputs.
+
+    Scale shape: embarrassingly parallel map — no shuffle at all; memory
+    bounded per Arrow batch (size with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` against media cell
+    size)."""
+    from . import multimodal as MM
+
+    out = MM.resize_media(_media_with_dims(spark, sf_dir), max_px=256)
+    return out.select(
+        "media_id",
+        "kind",
+        "src_width",
+        "src_height",
+        "width",
+        "height",
+        F.length("media").cast("long").alias("n_bytes"),
+    )
+
+
+@_q(
+    "media_frame_sample",
+    """
+    with med as (
+      select doc_id as media_id, sha256(text) as hx, n_chars
+      from documents where doc_id % 3 = 2
+    ),
+    f as (
+      select media_id, hx, unnest(range(0, n_chars // 500 + 1)) as i
+      from med
+    )
+    select media_id, i::int as frame_idx, (i * 500)::int as ts_ms,
+           sha256(hx || ':' || i::varchar) as frame_sha
+    from f
+    """,
+)
+def media_frame_sample(spark, sf_dir):
+    """Video FRAME-SAMPLING through the real multimodal dataflow
+    (:func:`multimodal.sample_frames`): one output row per sampled frame
+    — the fan-out (explode-shaped) ``mapInPandas`` batch contract, where
+    output cardinality != input cardinality.  The frame decode is the
+    deterministic stub keyed on ``sha256(media):frame_idx``, which is
+    exactly what lets a DuckDB oracle reproduce ``frame_sha`` and gate
+    the fan-out row-for-row (count, ordering keys, AND content hashes).
+
+    Scale shape: map-only with bounded per-row fan-out
+    (duration/interval); no shuffle.  Non-video media emit nothing."""
+    from . import multimodal as MM
+
+    frames = MM.sample_frames(_media_with_dims(spark, sf_dir), every_ms=500)
+    return frames.select("media_id", "frame_idx", "ts_ms", "frame_sha")
