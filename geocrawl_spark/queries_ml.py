@@ -1670,10 +1670,10 @@ def media_resize_meta(spark, sf_dir):
       from documents where doc_id % 3 = 2
     ),
     f as (
-      select media_id, hx, unnest(range(0, n_chars // 500 + 1)) as i
+      select media_id, hx, unnest(range(0, n_chars // 50 + 1)) as i
       from med
     )
-    select media_id, i::int as frame_idx, (i * 500)::int as ts_ms,
+    select media_id, i::int as frame_idx, (i * 50)::int as ts_ms,
            sha256(hx || ':' || i::varchar) as frame_sha
     from f
     """,
@@ -1691,5 +1691,5 @@ def media_frame_sample(spark, sf_dir):
     (duration/interval); no shuffle.  Non-video media emit nothing."""
     from . import multimodal as MM
 
-    frames = MM.sample_frames(_media_with_dims(spark, sf_dir), every_ms=500)
+    frames = MM.sample_frames(_media_with_dims(spark, sf_dir), every_ms=50)
     return frames.select("media_id", "frame_idx", "ts_ms", "frame_sha")
