@@ -1693,3 +1693,140 @@ def media_frame_sample(spark, sf_dir):
 
     frames = MM.sample_frames(_media_with_dims(spark, sf_dir), every_ms=50)
     return frames.select("media_id", "frame_idx", "ts_ms", "frame_sha")
+
+
+# ---------------------------------------------------------------------------
+# embedding compression: per-dimension scalar quantization (SQ4 codes)
+# ---------------------------------------------------------------------------
+
+#: scalar-quantization geometry: each embedding dimension is quantized
+#: to 4 bits (16 levels) against the CORPUS min/max of that dimension —
+#: the FAISS "SQ" index family's memory layout (4 bits/dim = 16x smaller
+#: than float32), which is what lets a 100 TB embedding corpus keep its
+#: compressed codes resident for rerank-free first-pass scans.  Codes
+#: are packed into _SQ_M integer words per vector (dim/_SQ_M dims per
+#: word x 4 bits; 64-dim vectors -> 8 dims/word -> 28-bit max shift,
+#: far inside BIGINT — 16 dims/word would need the sign bit and
+#: overflow ANSI long math).  True product quantization (per-SUBSPACE
+#: trained codebooks)
+#: was considered and deliberately not oracle-gated: per-subspace Lloyd
+#: steps multiply the float-rounding surface the IVF oracle already has
+#: to pin per step, while SQ stays in EXACT integer micro-units end to
+#: end (same quantization as the hyperplane family) — the compression
+#: plumbing is identical, only the codebook differs.
+_SQ_M = 8
+_SQ_LEVELS = 15  # max 4-bit code
+
+_SQ_WORD_SQL = ",\n           ".join(
+    f"sum(case when (dim - 1) // (select subd from sd) = {s} "
+    "then code * (1::BIGINT << (4 * ((dim - 1) % (select subd from sd)))) "
+    f"else 0 end)::BIGINT as code{s}"
+    for s in range(_SQ_M)
+)
+
+_SQ_SQL = f"""
+    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    u as (select vec_id, floor(unnest(e) * 1000000)::BIGINT as xq,
+                 generate_subscripts(e, 1) as dim from v),
+    st as (select dim, min(xq) as dmin, max(xq) as dmax from u group by dim),
+    sd as (select ((max(dim) + {_SQ_M - 1}) // {_SQ_M})::BIGINT as subd from u),
+    c as (
+      select vec_id, u.dim,
+             case when dmax = dmin then 0
+                  else ((xq - dmin) * {_SQ_LEVELS}) // (dmax - dmin) end as code,
+             abs(xq - (dmin + (case when dmax = dmin then 0
+                               else ((xq - dmin) * {_SQ_LEVELS}) // (dmax - dmin) end
+                               * (dmax - dmin)) // {_SQ_LEVELS})) as err
+      from u join st using (dim)
+    )
+    select vec_id,
+           {_SQ_WORD_SQL},
+           sum(err)::BIGINT as err_micro
+    from c group by vec_id order by vec_id
+"""
+
+
+@_q("embedding_sq_codes", _SQ_SQL)
+def embedding_sq_codes(spark, sf_dir):
+    """Scalar-quantized embedding codes (the FAISS SQ4 memory layout):
+    every dimension quantized to 4 bits against the corpus min/max of
+    that dimension, packed into _SQ_M BIGINT words per vector, plus the
+    exact L1 reconstruction error in integer micro-units.  All
+    arithmetic is EXACT BIGINT over micro-unit-quantized elements
+    (``floor(x * 1e6)`` — the hyperplane-family portability recipe), so
+    codes and error hash-match the DuckDB twin by construction; the
+    only corpus statistics are 2 numbers per dimension.
+
+    Scale shape: pass 1 explodes to (vec_id, dim, xq) for a
+    map-side-combined per-dim min/max — d output rows — which the
+    driver reads as a BOUNDED d-row collect (the same bounded-stats
+    precedent as the IVF K head read); pass 2 is then a PURE PER-ROW
+    array projection (transform against broadcast min/max literals —
+    no explode, no shuffle, no join): each vector reads once, writes
+    its _SQ_M code words + error.  At 100 TB that is the ideal shape —
+    one tiny stats job, then an embarrassingly parallel encode."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    eq = e.select(
+        "vec_id",
+        F.transform(F.col("e"), lambda x: F.floor(x * F.lit(1000000.0))).alias(
+            "xq"
+        ),
+    )
+    # pass 1: per-dimension corpus min/max — d rows, bounded collect
+    stats = (
+        eq.select(F.posexplode("xq").alias("dim0", "v"))
+        .groupBy("dim0")
+        .agg(F.min("v").alias("dmin"), F.max("v").alias("dmax"))
+        .orderBy("dim0")
+        .collect()
+    )
+    nd = len(stats)
+    subd = (nd + _SQ_M - 1) // _SQ_M
+    base = eq.withColumns(
+        {
+            "dmins": F.lit([int(r["dmin"]) for r in stats]),
+            "dmaxs": F.lit([int(r["dmax"]) for r in stats]),
+            "pw": F.lit([1 << (4 * j) for j in range(subd)]),
+        }
+    )
+    # codes + per-element error, all integer `div` arithmetic (exact
+    # twin of _SQ_SQL's `c` CTE; SQL-expression lambdas because the
+    # Column API has no integer floor-division operator)
+    code_sql = (
+        "case when element_at(dmaxs, cast(i + 1 as int)) = "
+        "element_at(dmins, cast(i + 1 as int)) then 0L else "
+        f"((x - element_at(dmins, cast(i + 1 as int))) * {_SQ_LEVELS}) div "
+        "(element_at(dmaxs, cast(i + 1 as int)) - "
+        "element_at(dmins, cast(i + 1 as int))) end"
+    )
+    withc = base.withColumn(
+        "codes", F.expr(f"transform(xq, (x, i) -> {code_sql})")
+    ).withColumn(
+        "errs",
+        F.expr(
+            "transform(sequence(1, size(xq)), j -> abs(element_at(xq, j) - "
+            "(element_at(dmins, j) + (element_at(codes, j) * "
+            "(element_at(dmaxs, j) - element_at(dmins, j))) div "
+            f"{_SQ_LEVELS})))"
+        ),
+    )
+    word_cols = []
+    for s in range(_SQ_M):
+        length = min(subd, max(0, nd - s * subd))
+        word = (
+            F.expr(
+                f"aggregate(zip_with(slice(codes, {s * subd + 1}, {length}), "
+                f"slice(pw, 1, {length}), (c, p) -> c * p), "
+                "0L, (acc, x) -> acc + x)"
+            )
+            if length > 0
+            else F.lit(0).cast("long")
+        )
+        word_cols.append(word.alias(f"code{s}"))
+    return withc.select(
+        "vec_id",
+        *word_cols,
+        F.expr("aggregate(errs, 0L, (acc, x) -> acc + x)").alias("err_micro"),
+    ).orderBy("vec_id")

@@ -3203,3 +3203,217 @@ def langid_confusion(spark, sf_dir):
         )
         .orderBy("lang", "guess")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (robust local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+#: winnowing parameters (Schleimer, Wilkerson, Aiken, "Winnowing: Local
+#: Algorithms for Document Fingerprinting", SIGMOD'03): word K-grams
+#: hashed, then one fingerprint selected per sliding window of W
+#: consecutive gram hashes (the window MINIMUM).  The guarantee: any
+#: shared run of at least K + W - 1 tokens between two documents shares
+#: at least one selected fingerprint, at an expected density of
+#: 2/(W+1) fingerprints per gram — position-robust local dedup evidence
+#: that a single global hash (doc_fingerprints) cannot give.
+_WINNOW_K = 4
+_WINNOW_W = 5
+
+_WINNOW_SQL = f"""
+    with g0 as (
+      select doc_id, unnest({_grams_sql(_WINNOW_K)}) as gram,
+             generate_subscripts({_grams_sql(_WINNOW_K)}, 1) as pos
+      from documents
+    ),
+    g as (select doc_id, pos, md5(gram) as gh from g0),
+    w as (
+      select doc_id, pos,
+             min(gh) over (partition by doc_id order by pos
+                           rows between current row and {_WINNOW_W - 1} following) as fp,
+             count(*) over (partition by doc_id) as ngrams
+      from g
+    ),
+    sel as (select doc_id, ngrams, fp from w where pos <= ngrams - {_WINNOW_W - 1}),
+    per as (
+      select doc_id, max(ngrams)::bigint as n_grams, count(*)::bigint as n_windows,
+             count(distinct fp)::bigint as n_fingerprints
+      from sel group by doc_id
+    ),
+    docfp as (select distinct doc_id, fp from sel),
+    share as (select fp, count(*)::bigint as dcnt from docfp group by fp),
+    sh as (
+      select doc_id, count(*)::bigint as shared_fp
+      from docfp join share using (fp) where dcnt >= 2 group by doc_id
+    )
+    select p.doc_id, n_grams, n_windows, n_fingerprints,
+           ((1000 * n_fingerprints) // n_windows)::bigint as density_permille,
+           coalesce(shared_fp, 0)::bigint as shared_fp
+    from per p left join sh using (doc_id) order by doc_id
+"""
+
+
+@_q("winnow_fingerprints", _WINNOW_SQL)
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03) —
+    the position-robust local fingerprinting used by MOSS-style overlap
+    detection, complementing :func:`doc_fingerprints` (one global hash)
+    and dup_span_stats (fixed-stride spans): selecting the MINIMUM gram
+    hash per sliding window guarantees any K+W-1-token shared run yields
+    a shared fingerprint while keeping density ~2/(W+1), independent of
+    where the shared run sits in either document.  md5 hex strings ARE
+    the hash values (string min is bit-identical across engines — no
+    integer conversion needed), so the whole operator is hash-portable
+    by construction.  ``shared_fp`` counts each doc's fingerprints seen
+    in at least one OTHER document — the winnowing dedup signal.
+
+    Scale shape: one corpus scan tokenizes once and emits gram hashes
+    (array transform, JVM-side); the window min runs per-doc (partition
+    = doc_id, frame = W rows — no corpus-wide sort); the per-doc rollup
+    is map-side combined; the only corpus-wide shuffle is the
+    fingerprint-sharing groupBy, whose input is already per-doc DISTINCT
+    fingerprints (~2/(W+1) x grams, i.e. ~1/3 of token volume) — the
+    same posting-list shape as dedup_ngram_jaccard, with the df skew cap
+    unnecessary because window-min selection already thins hot grams."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    g = (
+        t.select(
+            "doc_id",
+            F.posexplode(_grams_expr(F.col("toks"), _WINNOW_K)).alias(
+                "pos0", "gram"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("gram").alias("gh"),
+        )
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    wdoc = Window.partitionBy("doc_id")
+    sel = (
+        g.withColumn("fp", F.min("gh").over(wmin))
+        .withColumn("ngrams", F.count("*").over(wdoc))
+        .filter(F.col("pos") <= F.col("ngrams") - (_WINNOW_W - 1))
+        .select("doc_id", "ngrams", "fp")
+    )
+    per = sel.groupBy("doc_id").agg(
+        F.max("ngrams").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_windows"),
+        F.countDistinct("fp").cast("long").alias("n_fingerprints"),
+    )
+    docfp = sel.select("doc_id", "fp").distinct()
+    share = docfp.groupBy("fp").agg(F.count("*").alias("dcnt"))
+    sh = (
+        docfp.join(share.filter(F.col("dcnt") >= 2), "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("shared_fp"))
+    )
+    return (
+        per.join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_windows",
+            "n_fingerprints",
+            F.expr("(1000 * n_fingerprints) div n_windows")
+            .cast("long")
+            .alias("density_permille"),
+            F.coalesce("shared_fp", F.lit(0)).cast("long").alias("shared_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# integer TF-IDF top terms (keyword extraction / retrieval feature)
+# ---------------------------------------------------------------------------
+
+#: vocabulary cap for the idf table — same contract as _SURPRISAL_V:
+#: document frequencies are only broadcast for the top-V tokens by
+#: (df desc, token); any token outside the cap scores as df = 1 (hapax,
+#: maximum idf), which is the conservative direction for keyword
+#: extraction (rare tokens stay extractable).  Keeps the scoring join a
+#: broadcast at any corpus size instead of a shuffle on the zipf-skewed
+#: token key.
+_TFIDF_V = 65536
+_TFIDF_TOPK = 3
+
+_TFIDF_SQL = f"""
+    with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as tok from documents
+    ),
+    tc as (select doc_id, tok, count(*)::bigint as tf from toks group by doc_id, tok),
+    dft as (select tok, count(*)::bigint as df from tc group by tok),
+    vocab as (select tok, df from dft order by df desc, tok limit {_TFIDF_V}),
+    nd as (select count(*)::bigint as n from documents),
+    scored as (
+      select doc_id, tc.tok as term, tf, coalesce(v.df, 1)::bigint as df,
+             (tf * (length(bin((select n from nd)))
+                    - length(bin(coalesce(v.df, 1)))))::bigint as score_bits
+      from tc left join vocab v using (tok)
+    ),
+    r as (select *, row_number() over (partition by doc_id
+                                       order by score_bits desc, term) as rk
+          from scored)
+    select doc_id, term, tf, df, score_bits, rk::bigint as rk
+    from r where rk <= {_TFIDF_TOPK} order by doc_id, rk
+"""
+
+
+@_q("tfidf_topterms", _TFIDF_SQL)
+def tfidf_topterms(spark, sf_dir):
+    """Per-document top-{TOPK} TF-IDF terms in EXACT integer arithmetic —
+    the keyword-extraction / retrieval-feature primitive (Sparck Jones'
+    idf; the scoring half of what bm25_topk ranks with), hash-portable
+    via the same quantized log as unigram_surprisal: idf is whole bits,
+    ilog2(N_docs) - ilog2(df), computed as a bin()-length difference
+    (bit-identical in Spark and DuckDB), and the score is tf x idf_bits
+    — no float enters the result.  Ties break on the term string, so the
+    top-k set is fully deterministic.
+
+    Scale shape: one explode -> map-side-combined groupBy(doc_id, tok)
+    builds per-doc term counts (bounded by per-doc vocabulary, NOT token
+    volume); the df table aggregates that already-thinned table and is
+    capped at V by a distributed TakeOrdered; scoring is then a
+    BROADCAST join (zero shuffle on the token key) and the top-k is a
+    per-doc window over <= |doc vocab| rows.  Two corpus passes, both
+    embarrassingly parallel — the same shape that scales
+    unigram_surprisal."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    dft = tc.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = dft.orderBy(F.desc("df"), F.asc("tok")).limit(_TFIDF_V)
+    nd = d.agg(F.count("*").alias("n"))
+    scored = (
+        tc.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            F.coalesce("df", F.lit(1)).cast("long").alias("df"),
+            (
+                F.col("tf")
+                * (
+                    F.length(F.bin(F.col("n")))
+                    - F.length(F.bin(F.coalesce(F.col("df"), F.lit(1))))
+                )
+            )
+            .cast("long")
+            .alias("score_bits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_bits"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score_bits", "rk")
+        .orderBy("doc_id", "rk")
+    )

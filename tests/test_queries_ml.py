@@ -230,3 +230,62 @@ def test_semdedup_kept_set_is_eps_independent(spark):
                     if u != vid
                 )
     assert n_pruned > 0  # the synthetic corpus has near-dup families
+
+
+# ---------------------------------------------------------------------------
+# embedding scalar quantization (SQ4 codes)
+# ---------------------------------------------------------------------------
+
+def test_sq_codes_roundtrip_bound_and_range(spark, tmp_path):
+    """Every 4-bit code must be in [0, 15] and the per-dim reconstruction
+    error can never exceed one quantization step, ceil(rng/15) micro-units
+    -- the defining SQ guarantee the packed output has to preserve."""
+    import math
+
+    from geocrawl_spark.queries_ml import _SQ_LEVELS, _SQ_M, embedding_sq_codes
+
+    dim = 8  # subd = 1 -> one dim per word, codes directly readable
+    vecs = [
+        (i, [math.sin(i * 7 + d) * (d + 1) for d in range(dim)], "a")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    out = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.parquet(out)
+    rows = embedding_sq_codes(spark, str(tmp_path)).collect()
+    assert len(rows) == 40
+
+    xq = {i: [math.floor(v * 1e6) for v in e] for i, e, _ in vecs}
+    mins = [min(xq[i][d] for i in xq) for d in range(dim)]
+    maxs = [max(xq[i][d] for i in xq) for d in range(dim)]
+    for r in rows:
+        codes = [r[f"code{s}"] for s in range(_SQ_M)]
+        err_total = 0
+        for d in range(dim):
+            c = codes[d]  # subd == 1: word s holds dim s's raw code
+            assert 0 <= c <= _SQ_LEVELS
+            rng = maxs[d] - mins[d]
+            recon = mins[d] + (c * rng) // _SQ_LEVELS
+            step = -(-rng // _SQ_LEVELS)  # ceil
+            assert abs(xq[r["vec_id"]][d] - recon) <= step
+            err_total += abs(xq[r["vec_id"]][d] - recon)
+        assert r["err_micro"] == err_total
+
+
+def test_sq_codes_constant_dim_and_determinism(spark, tmp_path):
+    from geocrawl_spark.queries_ml import embedding_sq_codes
+
+    # dim 1 is constant across the corpus (rng = 0 -> code 0, err 0)
+    vecs = [(i, [float(i), 2.5, float(i % 3)], "x") for i in range(10)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    a = [r.asDict() for r in embedding_sq_codes(spark, str(tmp_path)).collect()]
+    b = [r.asDict() for r in embedding_sq_codes(spark, str(tmp_path)).collect()]
+    assert a == b  # corpus-stat collect is deterministic
+    # constant dim contributes code 0 and zero error: vec 0 has value
+    # min in dims 0 and 2 as well -> all-zero codes and zero error
+    assert a[0]["vec_id"] == 0 and a[0]["err_micro"] == 0

@@ -1037,3 +1037,94 @@ def test_langid_confusion_hand_case(spark, tmp_path):
     assert got[("en", "es")] == (1, 3, 333)
     assert got[("de", "unknown")] == (1, 1, 1000)
     assert set(got) == {("en", "en"), ("en", "es"), ("de", "unknown")}
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnow_shared_run_guarantee(spark, tmp_path):
+    # Winnowing guarantee (SIGMOD'03): documents sharing a run of at
+    # least K + W - 1 = 8 tokens share at least one selected
+    # fingerprint, REGARDLESS of where the run sits in each doc.
+    from geocrawl_spark.queries_pipeline import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (shared + " tail1 tail2 tail3 filler4 filler5", "en"),
+        ("lead1 lead2 lead3 other4 other5 " + shared, "en"),
+        ("unrelated words only here nothing matches at all ok fine", "en"),
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r.asDict() for r in winnow_fingerprints(spark, sf).collect()}
+    assert got[0]["shared_fp"] >= 1
+    assert got[1]["shared_fp"] >= 1
+    assert got[2]["shared_fp"] == 0
+
+
+def test_winnow_density_and_short_doc(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import (
+        _WINNOW_K,
+        _WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    # all-distinct tokens -> all-distinct grams (a repeating token
+    # cycle would be a genuine self-duplication that winnowing collapses)
+    long_doc = " ".join(f"tok{i}" for i in range(200))
+    rows = [
+        (long_doc, "en"),
+        ("too short", "en"),  # < K tokens: no grams, excluded
+        (" ".join(f"w{i}" for i in range(_WINNOW_K + _WINNOW_W - 2)), "en"),
+        # exactly K+W-2 tokens -> ngrams = W-1 < W: no window, excluded
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = {r["doc_id"]: r.asDict() for r in winnow_fingerprints(spark, sf).collect()}
+    assert set(out) == {0}
+    r0 = out[0]
+    assert r0["n_grams"] == 200 - _WINNOW_K + 1
+    assert r0["n_windows"] == r0["n_grams"] - _WINNOW_W + 1
+    # density ~ 2/(W+1) = 333 permille; window-min selection can never
+    # pick more than one fingerprint per window nor fewer than 1/W
+    assert 1000 // _WINNOW_W <= r0["density_permille"] <= 1000
+    assert r0["n_fingerprints"] <= r0["n_windows"]
+
+
+# ---------------------------------------------------------------------------
+# integer TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_topterms_ranks_rare_over_common(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import tfidf_topterms
+
+    # "common" appears in every doc (df=4 -> idf 0 bits with N=4);
+    # "rare0" only in doc 0 (df=1 -> idf = ilog2(4) = 2 bits).
+    rows = [
+        ("common common common rare0 mid", "en"),
+        ("common mid x1 x2 x3", "en"),
+        ("common y1 y2 y3 y4", "en"),
+        ("common z1 z2 z3 z4", "en"),
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = tfidf_topterms(spark, sf).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top0 = by_doc[0][0]
+    # rare0: tf=1, score = 1 * (len(bin(4)) - len(bin(1))) = 2
+    # common: tf=3, score = 3 * (len(bin(4)) - len(bin(4))) = 0
+    # mid: df=2, score = 1 * 1 = 1 -> rare0 wins despite tf=1
+    assert top0["term"] == "rare0" and top0["score_bits"] == 2
+    assert [r["rk"] for r in by_doc[0]] == [1, 2, 3]
+    for rows_ in by_doc.values():
+        assert len(rows_) <= 3
+
+
+def test_tfidf_topterms_tie_breaks_on_term(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import tfidf_topterms
+
+    rows = [("bbb aaa ccc", "en"), ("other words here", "en")]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = [r for r in tfidf_topterms(spark, sf).collect() if r["doc_id"] == 0]
+    # all three terms tie (tf=1, df=1): alphabetical order decides
+    assert [r["term"] for r in out] == ["aaa", "bbb", "ccc"]
