@@ -47,6 +47,10 @@ _HREF_RE = r'href="([^"]+)"'
 _ANCHOR_SNIPPET_RE = (
     r'href="[^"]+"(?:(?:(?!href=")[^>])*>(?:(?!href=")[^<])*)?'
 )
+#: sitemaps.org protocol <loc> entries — the sitemap-discovery link
+#: source (URLs a site advertises that no <a href> on any crawled page
+#: reaches).  Only consulted when the engine opts in (use_sitemaps).
+_LOC_RE = r"<loc>([^<]+)</loc>"
 
 
 # ---------------------------------------------------------------------------
@@ -80,6 +84,13 @@ def extract_link_anchors_py(html: bytes) -> list[tuple[str, str]]:
         anchor = _WS_RE.sub(" ", m.group(1)).strip() if m else ""
         out.append((href, anchor))
     return out
+
+
+def extract_sitemap_locs_py(html: bytes) -> list[str]:
+    """<loc> URLs in document order (sitemaps.org protocol) — the pyref
+    twin of :func:`extract_sitemap_locs_udf`."""
+    s = html.decode("utf-8", errors="replace")
+    return re.findall(_LOC_RE, s)
 
 
 def resolve_href_py(base_url: str, href: str) -> str:
@@ -129,6 +140,14 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(ArrayType(StringType()))
 def extract_links_udf(html: pd.Series) -> pd.Series:
     return _decode_utf8(html).str.findall(_HREF_RE)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_sitemap_locs_udf(html: pd.Series) -> pd.Series:
+    """Vectorized <loc> extraction (one C-level findall per batch) —
+    empty list on non-sitemap pages, so the opt-in fan-out can apply it
+    uniformly to every fetched page with no URL-conditional branch."""
+    return _decode_utf8(html).str.findall(_LOC_RE)
 
 
 @F.pandas_udf(ArrayType(StringType()))

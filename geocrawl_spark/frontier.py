@@ -162,6 +162,7 @@ class CrawlEngine:
         trap_depth: int = 3,
         mirror_guard: bool = False,
         mirror_min: int = 4,
+        use_sitemaps: bool = False,
     ):
         self.spark = spark
         #: Caching the pages corpus is OPT-IN (small-corpus / test / bench
@@ -305,6 +306,17 @@ class CrawlEngine:
         #: edges.  Default off: one extra per-round write, and goldens/
         #: bench measure the reference-parity path.
         self.log_links = log_links
+        #: Opt-in SITEMAP DISCOVERY (sitemaps.org protocol): round 0
+        #: additionally admits ``{origin}/sitemap.xml`` for every
+        #: distinct seed origin (same depth-0 / robots / seen semantics
+        #: as the seeds), and every fetched page contributes its
+        #: ``<loc>`` URLs to the link fan-out alongside its hrefs (one
+        #: extra vectorized findall; empty on non-sitemap pages).  This
+        #: is how pages with NO inbound <a href> anywhere become
+        #: crawlable — the only discovery channel real sites control
+        #: directly.  Twinned in pyref.PyRefCrawl(use_sitemaps=True);
+        #: default False keeps every golden byte-identical.
+        self.use_sitemaps = use_sitemaps
         #: E3 global per-round batch ceiling (ORDER BY priority LIMIT n):
         #: per-host budgets alone let a frontier with 10M hosts fetch
         #: 10M x budget pages in one round; the cap bounds the round
@@ -644,6 +656,28 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("depth"),
             F.lit("page").alias("kind"),
         )
+        if self.use_sitemaps:
+            # one /sitemap.xml candidate per DISTINCT seed origin —
+            # depth 0, same robots/seen admission as the seeds (a
+            # deny-all host keeps its sitemap out too, like a real
+            # crawler honoring REP)
+            sitemaps = (
+                seeds.select(
+                    F.regexp_extract(
+                        "url", r"^([a-z][a-z0-9+.\-]*://[^/?]*)", 1
+                    ).alias("origin")
+                )
+                .filter(F.col("origin") != "")
+                .distinct()
+                .select(
+                    canonicalize_url_expr(
+                        F.concat(F.col("origin"), F.lit("/sitemap.xml"))
+                    ).alias("url"),
+                    F.lit(0).cast("long").alias("depth"),
+                    F.lit("page").alias("kind"),
+                )
+            )
+            seeds = seeds.unionByName(sitemaps)
         flagged, persist_state, parents, stats_fn = self._admit(seeds, state, 0)
         counters = {k: 0 for k in COUNTER_KEYS}
         with ThreadPoolExecutor(max_workers=8) as pool:
@@ -1035,6 +1069,24 @@ class CrawlEngine:
                         .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
                         .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
                     )
+                if self.use_sitemaps:
+                    # sitemap <loc> URLs join the fan-out as ordinary
+                    # candidates (same resolve/canon/kind admission);
+                    # non-sitemap pages contribute an empty list, so
+                    # this is one extra vectorized findall, no branch
+                    loc = got.select(
+                        "url",
+                        "depth",
+                        F.explode(A.extract_sitemap_locs_udf("html")).alias(
+                            "href"
+                        ),
+                    )
+                    if self.log_links:
+                        loc = loc.withColumn("anchor", F.lit(""))
+                    loc = loc.withColumn(
+                        "abs_url", A.resolve_href_expr(F.col("url"), F.col("href"))
+                    ).withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
+                    links = links.unionByName(loc)
                 kinded = links.withColumn(
                     "kind",
                     F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(

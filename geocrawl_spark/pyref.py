@@ -18,6 +18,7 @@ import pandas as pd
 
 from .assets import (
     extract_link_anchors_py,
+    extract_sitemap_locs_py,
     extract_text_py,
     is_asset_py,
     is_page_py,
@@ -65,6 +66,7 @@ class PyRefCrawl:
         trap_depth: int = 3,
         mirror_guard: bool = False,
         mirror_min: int = 4,
+        use_sitemaps: bool = False,
     ):
         self.pages = {r.url: r for r in pages.itertuples()}
         self.seeds = list(seeds.itertuples())
@@ -123,6 +125,10 @@ class PyRefCrawl:
             raise ValueError("mirror_min must be >= 1")
         self.mirror_min = mirror_min
         self.mirror: dict[str, list[int]] = {}
+        # opt-in sitemap discovery twin (CrawlEngine use_sitemaps):
+        # round 0 adds {origin}/sitemap.xml per distinct seed origin;
+        # every fetched page's <loc> URLs join its href fan-out
+        self.use_sitemaps = use_sitemaps
         self.content_seen: set[int] = set()
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
@@ -228,6 +234,16 @@ class PyRefCrawl:
         cands: dict[str, tuple[int, str]] = {}
         for s in self.seeds:
             cands.setdefault(canonicalize_url(s.url), (0, "page"))
+        if self.use_sitemaps:
+            import re as _re
+
+            for canon in list(cands):
+                m = _re.match(r"^([a-z][a-z0-9+.\-]*://[^/?]*)", canon)
+                if m:
+                    cands.setdefault(
+                        canonicalize_url(m.group(1) + "/sitemap.xml"),
+                        (0, "page"),
+                    )
         rows, deduped, denied = self._admit(cands, 0)
         if self.trap_guard:
             # round 0's admitted seeds ARE discoveries (depth 0, no
@@ -343,6 +359,21 @@ class PyRefCrawl:
                 self.links.append((row["url"], canon, kind, anchor))
                 if canon not in cands or d < cands[canon][0]:
                     cands[canon] = (d, kind)
+            if self.use_sitemaps:
+                # sitemap <loc> URLs fan out exactly like hrefs (same
+                # resolve/canon/kind admission; empty anchor in the log)
+                for loc in extract_sitemap_locs_py(html):
+                    canon = canonicalize_url(resolve_href_py(row["url"], loc))
+                    d = row["depth"] + 1
+                    if is_page_py(canon):
+                        kind = "page"
+                    elif is_asset_py(canon):
+                        kind = "asset"
+                    else:
+                        continue
+                    self.links.append((row["url"], canon, kind, ""))
+                    if canon not in cands or d < cands[canon][0]:
+                        cands[canon] = (d, kind)
 
         rows, deduped, denied = self._admit(cands, round_no)
         if self.trap_guard:

@@ -164,24 +164,74 @@ def _page_html(seed: int, i: int, j: int, counts: list[int]) -> str:
 # tables
 # ---------------------------------------------------------------------------
 
-def gen_pages(total: int = 200, n_hosts: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
-    """pages(url, warc_ts, html binary, text, lang) per input_hint."""
+def orphan_url(seed: int, i: int, n: int) -> str:
+    """A page listed ONLY in host i's sitemap — no <a href> anywhere in
+    the graph reaches it (the /p/o{n} index space is disjoint from the
+    /p/{j} space _page_html links into)."""
+    return f"http://{host_name(i)}/p/o{n}.html"
+
+
+def n_orphans(seed: int, i: int) -> int:
+    return 1 + hq(seed, "norph", i) % 2
+
+
+def sitemap_url(i: int) -> str:
+    return f"http://{host_name(i)}/sitemap.xml"
+
+
+def _sitemap_xml(seed: int, i: int, counts: list[int]) -> str:
+    """sitemaps.org-style XML: the seed page, a couple of regular pages
+    (redundant with the link graph), and every orphan (reachable only
+    here)."""
+    locs = [page_url(seed, i, 0)]
+    for k in range(min(2, counts[i] - 1)):
+        locs.append(page_url(seed, i, 1 + hq(seed, "sm", i, k) % (counts[i] - 1)))
+    for n in range(n_orphans(seed, i)):
+        locs.append(orphan_url(seed, i, n))
+    body = "\n".join(f"<url><loc>{u}</loc></url>" for u in locs)
+    return f'<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n{body}\n</urlset>'
+
+
+def gen_pages(
+    total: int = 200,
+    n_hosts: int = 8,
+    seed: int = DEFAULT_SEED,
+    sitemaps: bool = False,
+) -> pd.DataFrame:
+    """pages(url, warc_ts, html binary, text, lang) per input_hint.
+
+    ``sitemaps=True`` appends, per host, a ``/sitemap.xml`` page (XML
+    ``<loc>`` listing) and 1-2 ORPHAN pages it alone references — the
+    sitemap-discovery fixtures.  Default False keeps every existing
+    golden's input byte-identical."""
     counts = page_counts(total, n_hosts)
     rows = []
     langs = ["en", "es", "de"]
+
+    def add(url: str, html: bytes):
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": EPOCH + dt.timedelta(seconds=hq(seed, "ts", url) % 31536000),
+                "html": html,
+                "text": extract_text_py(html),
+                "lang": langs[hq(seed, "lang", url) % 3],
+            }
+        )
+
     for i in range(n_hosts):
         for j in range(counts[i]):
-            url = page_url(seed, i, j)
-            html = _page_html(seed, i, j, counts).encode("utf-8")
-            rows.append(
-                {
-                    "url": url,
-                    "warc_ts": EPOCH + dt.timedelta(seconds=hq(seed, "ts", url) % 31536000),
-                    "html": html,
-                    "text": extract_text_py(html),
-                    "lang": langs[hq(seed, "lang", url) % 3],
-                }
-            )
+            add(page_url(seed, i, j), _page_html(seed, i, j, counts).encode("utf-8"))
+    if sitemaps:
+        for i in range(n_hosts):
+            # orphans reuse the page-html factory at out-of-range j so
+            # their OWN outlinks still target real pages
+            for n in range(n_orphans(seed, i)):
+                add(
+                    orphan_url(seed, i, n),
+                    _page_html(seed, i, counts[i] + n, counts).encode("utf-8"),
+                )
+            add(sitemap_url(i), _sitemap_xml(seed, i, counts).encode("utf-8"))
     return pd.DataFrame(rows)
 
 

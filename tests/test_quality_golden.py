@@ -22,7 +22,10 @@ N_PAGES, N_HOSTS = 80, 6
 @pytest.fixture(scope="module")
 def fixtures():
     return {
-        "pages": synth.gen_pages(N_PAGES, N_HOSTS),
+        # sitemaps=True plants per-host sitemap.xml + orphan pages; the
+        # non-sitemap tests never admit them (parity unaffected), the
+        # composed test opts in and must reach the orphans
+        "pages": synth.gen_pages(N_PAGES, N_HOSTS, sitemaps=True),
         "seeds": synth.gen_seeds(N_HOSTS),
         "robots": synth.gen_robots(N_HOSTS),
         "budget": synth.gen_hostbudget(N_HOSTS),
@@ -99,8 +102,8 @@ def test_quality_rank_composed_optins_refresh_resume(
     spark, fixtures, tmp_path_factory
 ):
     """quality_rank + abucket + compaction + link log + adaptive budgets
-    + trap guard + mirror guard through crawl -> refresh -> kill/resume
-    -> post-refresh recrawl (every per-round feedback table — hosterr,
+    + trap guard + mirror guard + sitemap discovery through crawl ->
+    refresh -> kill/resume -> post-refresh recrawl (every per-round feedback table — hosterr,
     hostqual, hosttrap, hostdup — must survive the refresh commit and
     the resume; the post-refresh re-fetches serve unchanged content, so
     they count as dups on BOTH sides — the mirror stats double as a
@@ -108,12 +111,12 @@ def test_quality_rank_composed_optins_refresh_resume(
     kw = dict(
         mode="abucket", n_shards=4, salt=4, m_bits=1 << 18, k=7, n_buckets=4,
         compact_seen_every=2, log_links=True, adaptive_budget=True,
-        trap_guard=True, mirror_guard=True,
+        trap_guard=True, mirror_guard=True, use_sitemaps=True,
     )
     ref = PyRefCrawl(
         fixtures["pages"], fixtures["seeds"], fixtures["robots"],
         fixtures["budget"], quality_rank=True, adaptive_budget=True,
-        trap_guard=True, mirror_guard=True,
+        trap_guard=True, mirror_guard=True, use_sitemaps=True,
     )
     ref.run(max_rounds=50)
 
@@ -122,6 +125,9 @@ def test_quality_rank_composed_optins_refresh_resume(
     eng.run(max_rounds=50)
     assert eng.crawl_order() == ref.crawl_order
     assert eng.seen_urls() == ref.seen_urls()
+    # sitemap discovery is live in the composition: some orphan page
+    # (reachable only through a <loc> entry) was actually fetched
+    assert any("/p/o" in u for _, _, u in ref.crawl_order)
 
     fetched = sorted({u for _, _, u in ref.crawl_order})
     sel = fetched[::3]

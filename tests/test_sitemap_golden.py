@@ -1,0 +1,111 @@
+"""Sitemap-discovery golden parity (CrawlEngine use_sitemaps twin).
+
+The fixture graph gains per-host /sitemap.xml pages plus ORPHAN pages
+referenced only by <loc> entries (synth.gen_pages(sitemaps=True)).  The
+opt-in engine must (a) reach every robots-allowed orphan — pages with no
+inbound <a href> anywhere, the discovery channel only sitemaps provide —
+and (b) replay the pyref oracle's crawl EXACTLY (ordering, seen set,
+counters, per-url extracted text), with the opt-out engine byte-identical
+to the plain crawl (orphans never fetched).
+"""
+
+import hashlib
+
+import pytest
+
+from geocrawl_spark import synth
+from geocrawl_spark.frontier import CrawlEngine, read_all_rounds
+from geocrawl_spark.pyref import PyRefCrawl
+
+N_PAGES, N_HOSTS = 100, 6
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    return {
+        "pages": synth.gen_pages(N_PAGES, N_HOSTS, sitemaps=True),
+        "seeds": synth.gen_seeds(N_HOSTS),
+        "robots": synth.gen_robots(N_HOSTS),
+        "budget": synth.gen_hostbudget(N_HOSTS),
+    }
+
+
+def _mk_engine(spark, fixtures, tmpdir, **kw):
+    return CrawlEngine(
+        spark,
+        pages=spark.createDataFrame(
+            fixtures["pages"],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ),
+        seeds=spark.createDataFrame(fixtures["seeds"]),
+        robots=spark.createDataFrame(
+            fixtures["robots"], "host string, disallow array<string>, allow array<string>"
+        ),
+        hostbudget=spark.createDataFrame(fixtures["budget"]),
+        base_dir=str(tmpdir),
+        mode="exact",
+        n_shards=4,
+        salt=4,
+        m_bits=1 << 18,
+        k=7,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def pyref_run(fixtures):
+    ref = PyRefCrawl(
+        fixtures["pages"],
+        fixtures["seeds"],
+        fixtures["robots"],
+        fixtures["budget"],
+        use_sitemaps=True,
+    )
+    ref.run(max_rounds=50)
+    return ref
+
+
+def test_sitemap_reaches_orphans_pyref(pyref_run):
+    # at least one host's orphans are robots-allowed and must be fetched
+    fetched = {u for _, _, u in pyref_run.crawl_order}
+    orphans = {
+        synth.orphan_url(synth.DEFAULT_SEED, i, n)
+        for i in range(N_HOSTS)
+        for n in range(synth.n_orphans(synth.DEFAULT_SEED, i))
+    }
+    assert fetched & orphans, "no orphan reached despite sitemaps"
+    # the sitemaps themselves were fetched for the allow-all hosts
+    assert any(u.endswith("/sitemap.xml") for u in fetched)
+
+
+def test_sitemap_opt_out_never_sees_orphans(fixtures):
+    ref = PyRefCrawl(
+        fixtures["pages"], fixtures["seeds"], fixtures["robots"], fixtures["budget"]
+    )
+    ref.run(max_rounds=50)
+    fetched = {u for _, _, u in ref.crawl_order}
+    assert not any("/sitemap.xml" in u or "/p/o" in u for u in fetched)
+
+
+def test_sitemap_golden_engine_matches_pyref(
+    spark, fixtures, pyref_run, tmp_path_factory
+):
+    eng = _mk_engine(
+        spark, fixtures, tmp_path_factory.mktemp("sm"), use_sitemaps=True
+    )
+    eng.run(max_rounds=50)
+    assert eng.crawl_order() == pyref_run.crawl_order
+    assert set(eng.seen_urls()) == set(pyref_run.seen_urls())
+    ext = read_all_rounds(eng.spark, eng.io, "extracted")
+    got = {
+        r["url"]: hashlib.sha256(r["text_extracted"].encode("utf-8")).hexdigest()
+        for r in ext.collect()
+    }
+    assert got == pyref_run.extracted_sha()
+    # orphan coverage survives the Spark path too
+    orphans = {
+        synth.orphan_url(synth.DEFAULT_SEED, i, n)
+        for i in range(N_HOSTS)
+        for n in range(synth.n_orphans(synth.DEFAULT_SEED, i))
+    }
+    assert {u for _, _, u in eng.crawl_order()} & orphans
