@@ -28,6 +28,10 @@ from pyspark.sql.types import ArrayType, StringType
 ASSET_EXT_RE = r"\.(tiff?|shp|kml|kmz|nc)$"
 # Links that grow the frontier (pages).
 PAGE_EXT_RE = r"(/|\.html?)$"
+# Sitemap files (sitemaps.org): fetchable when referenced through the
+# sitemap CHANNEL only — a <loc> in a sitemap index or a robots
+# ``Sitemap:`` directive — never through an <a href>.
+SITEMAP_EXT_RE = r"\.xml$"
 
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
@@ -208,3 +212,16 @@ def is_asset_py(url: str) -> bool:
 
 def is_page_py(url: str) -> bool:
     return re.search(PAGE_EXT_RE, re.sub(r"\?.*$", "", url)) is not None
+
+
+def is_sitemap_expr(url: Column) -> Column:
+    """``.xml`` path — fetchable ONLY through the sitemap channel (a
+    ``<loc>`` entry or a robots ``Sitemap:`` directive may reference a
+    child sitemap, per the sitemaps.org index protocol; an ``<a href>``
+    to an .xml file stays non-crawlable as before)."""
+    path = F.regexp_replace(url, r"\?.*$", "")
+    return path.rlike(SITEMAP_EXT_RE)
+
+
+def is_sitemap_py(url: str) -> bool:
+    return re.search(SITEMAP_EXT_RE, re.sub(r"\?.*$", "", url)) is not None

@@ -314,9 +314,31 @@ class CrawlEngine:
         #: extra vectorized findall; empty on non-sitemap pages).  This
         #: is how pages with NO inbound <a href> anywhere become
         #: crawlable — the only discovery channel real sites control
-        #: directly.  Twinned in pyref.PyRefCrawl(use_sitemaps=True);
-        #: default False keeps every golden byte-identical.
+        #: directly.  Two further protocol pieces ride the same flag:
+        #: SITEMAP INDEXES (a ``<loc>`` naming another ``.xml`` file is
+        #: admitted as a fetchable page — but only via the sitemap
+        #: channel, never via ``<a href>`` — so nested
+        #: ``<sitemapindex>`` files recurse for free through the normal
+        #: fetch loop), and robots ``Sitemap:`` DIRECTIVES (an optional
+        #: ``sitemaps array<string>`` column on the robots dimension;
+        #: each fetched page fans out its host's declared sitemap URLs
+        #: like links, so a non-conventional sitemap path is discovered
+        #: the round after its host is first fetched).  Twinned in
+        #: pyref.PyRefCrawl(use_sitemaps=True); default False keeps
+        #: every golden byte-identical.
         self.use_sitemaps = use_sitemaps
+        #: (host, href) broadcast dimension of robots-declared sitemap
+        #: URLs — present only when the opt-in is on AND the robots input
+        #: carries the optional ``sitemaps`` column.
+        self.robots_sitemaps = None
+        if use_sitemaps and "sitemaps" in robots.columns:
+            self.robots_sitemaps = (
+                self.robots.select(
+                    "host", F.explode("sitemaps").alias("href")
+                )
+                .filter(F.col("href").isNotNull() & (F.col("href") != ""))
+                .persist()
+            )
         #: E3 global per-round batch ceiling (ORDER BY priority LIMIT n):
         #: per-host budgets alone let a frontier with 10M hosts fetch
         #: 10M x budget pages in one round; the cap bounds the round
@@ -1069,11 +1091,22 @@ class CrawlEngine:
                         .withColumn("abs_url", A.resolve_href_expr(F.col("url"), F.col("href")))
                         .withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
                     )
+                kinded = links.withColumn(
+                    "kind",
+                    F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
+                        A.is_asset_expr(F.col("canon")), F.lit("asset")
+                    ),
+                ).filter(F.col("kind").isNotNull())
                 if self.use_sitemaps:
-                    # sitemap <loc> URLs join the fan-out as ordinary
-                    # candidates (same resolve/canon/kind admission);
-                    # non-sitemap pages contribute an empty list, so
-                    # this is one extra vectorized findall, no branch
+                    # sitemap-CHANNEL candidates: <loc> URLs from every
+                    # fetched page (one extra vectorized findall, empty
+                    # on non-sitemap pages — no URL-conditional branch)
+                    # plus, when the robots dimension declares Sitemap:
+                    # directives, each page's host-declared sitemap URLs
+                    # (tiny broadcast join).  The channel carries its own
+                    # kind rule: a .xml target is a fetchable page HERE
+                    # (sitemap-index recursion) while staying
+                    # non-crawlable via <a href> above.
                     loc = got.select(
                         "url",
                         "depth",
@@ -1081,18 +1114,40 @@ class CrawlEngine:
                             "href"
                         ),
                     )
+                    if self.robots_sitemaps is not None:
+                        rsm = (
+                            got.select(
+                                "url", "depth", host_expr(F.col("url")).alias("host")
+                            )
+                            .join(F.broadcast(self.robots_sitemaps), "host")
+                            .select("url", "depth", "href")
+                        )
+                        loc = loc.unionByName(rsm)
                     if self.log_links:
                         loc = loc.withColumn("anchor", F.lit(""))
-                    loc = loc.withColumn(
-                        "abs_url", A.resolve_href_expr(F.col("url"), F.col("href"))
-                    ).withColumn("canon", canonicalize_url_expr(F.col("abs_url")))
-                    links = links.unionByName(loc)
-                kinded = links.withColumn(
-                    "kind",
-                    F.when(A.is_page_expr(F.col("canon")), F.lit("page")).when(
-                        A.is_asset_expr(F.col("canon")), F.lit("asset")
-                    ),
-                ).filter(F.col("kind").isNotNull())
+                    loc = (
+                        loc.withColumn(
+                            "abs_url",
+                            A.resolve_href_expr(F.col("url"), F.col("href")),
+                        )
+                        .withColumn(
+                            "canon", canonicalize_url_expr(F.col("abs_url"))
+                        )
+                        .withColumn(
+                            "kind",
+                            F.when(
+                                A.is_page_expr(F.col("canon"))
+                                | A.is_sitemap_expr(F.col("canon")),
+                                F.lit("page"),
+                            ).when(
+                                A.is_asset_expr(F.col("canon")), F.lit("asset")
+                            ),
+                        )
+                        .filter(F.col("kind").isNotNull())
+                    )
+                    kinded = kinded.unionByName(
+                        loc.select(*kinded.columns)
+                    )
                 if self.log_links:
                     # the links write and the admission pass both consume the
                     # exploded/extracted edge set — persist it so the pandas

@@ -22,6 +22,7 @@ from .assets import (
     extract_text_py,
     is_asset_py,
     is_page_py,
+    is_sitemap_py,
     resolve_href_py,
 )
 from .canon import canonicalize_url, host_of
@@ -127,8 +128,17 @@ class PyRefCrawl:
         self.mirror: dict[str, list[int]] = {}
         # opt-in sitemap discovery twin (CrawlEngine use_sitemaps):
         # round 0 adds {origin}/sitemap.xml per distinct seed origin;
-        # every fetched page's <loc> URLs join its href fan-out
+        # every fetched page's <loc> URLs — and its host's
+        # robots-declared Sitemap: URLs, when the robots input carries
+        # the optional `sitemaps` column — join its href fan-out; .xml
+        # targets recurse as pages through the sitemap channel only
         self.use_sitemaps = use_sitemaps
+        self.robots_sitemaps: dict[str, list[str]] = {}
+        if use_sitemaps:
+            for r in robots.itertuples():
+                sm = getattr(r, "sitemaps", None)
+                if sm is not None and len(sm):
+                    self.robots_sitemaps[r.host] = [u for u in sm if u]
         self.content_seen: set[int] = set()
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
@@ -360,12 +370,16 @@ class PyRefCrawl:
                 if canon not in cands or d < cands[canon][0]:
                     cands[canon] = (d, kind)
             if self.use_sitemaps:
-                # sitemap <loc> URLs fan out exactly like hrefs (same
-                # resolve/canon/kind admission; empty anchor in the log)
-                for loc in extract_sitemap_locs_py(html):
+                # sitemap-channel fan-out: <loc> URLs plus the host's
+                # robots-declared Sitemap: URLs, with the channel's own
+                # kind rule — a .xml target is a fetchable page here
+                # (sitemap-index recursion) though never via <a href>
+                sm_hrefs = list(extract_sitemap_locs_py(html))
+                sm_hrefs += self.robots_sitemaps.get(host_of(row["url"]), [])
+                for loc in sm_hrefs:
                     canon = canonicalize_url(resolve_href_py(row["url"], loc))
                     d = row["depth"] + 1
-                    if is_page_py(canon):
+                    if is_page_py(canon) or is_sitemap_py(canon):
                         kind = "page"
                     elif is_asset_py(canon):
                         kind = "asset"

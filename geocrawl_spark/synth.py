@@ -179,8 +179,34 @@ def sitemap_url(i: int) -> str:
     return f"http://{host_name(i)}/sitemap.xml"
 
 
-def _sitemap_xml(seed: int, i: int, counts: list[int]) -> str:
-    """sitemaps.org-style XML: the seed page, a couple of regular pages
+def child_sitemap_url(i: int, c: int) -> str:
+    """Child sitemap file referenced only by host i's sitemap INDEX."""
+    return f"http://{host_name(i)}/sm_{c}.xml"
+
+
+def rs_orphan_url(seed: int, i: int, n: int) -> str:
+    """A page listed ONLY in host i's robots-declared sitemap — neither
+    hrefs nor the conventional /sitemap.xml reach the /p/r{n} space."""
+    return f"http://{host_name(i)}/p/r{n}.html"
+
+
+def n_rs_orphans(seed: int, i: int) -> int:
+    return 1 + hq(seed, "nrsorph", i) % 2
+
+
+def has_robots_sitemap(seed: int, i: int) -> bool:
+    """Which hosts declare a ``Sitemap:`` directive (about half)."""
+    return hq(seed, "rsm", i) % 2 == 0
+
+
+def robots_sitemap_url(i: int) -> str:
+    """Host i's robots-declared sitemap — a NON-conventional path the
+    /sitemap.xml convention probe never finds."""
+    return f"http://{host_name(i)}/smdir/extra.xml"
+
+
+def _sitemap_locs(seed: int, i: int, counts: list[int]) -> list[str]:
+    """The flat per-host loc list: seed page, a couple of regular pages
     (redundant with the link graph), and every orphan (reachable only
     here)."""
     locs = [page_url(seed, i, 0)]
@@ -188,8 +214,25 @@ def _sitemap_xml(seed: int, i: int, counts: list[int]) -> str:
         locs.append(page_url(seed, i, 1 + hq(seed, "sm", i, k) % (counts[i] - 1)))
     for n in range(n_orphans(seed, i)):
         locs.append(orphan_url(seed, i, n))
+    return locs
+
+
+def _urlset_xml(locs: list[str]) -> str:
     body = "\n".join(f"<url><loc>{u}</loc></url>" for u in locs)
     return f'<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n{body}\n</urlset>'
+
+
+def _sitemapindex_xml(locs: list[str]) -> str:
+    body = "\n".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in locs)
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f"<sitemapindex>\n{body}\n</sitemapindex>"
+    )
+
+
+def _sitemap_xml(seed: int, i: int, counts: list[int]) -> str:
+    """sitemaps.org-style XML (flat urlset form)."""
+    return _urlset_xml(_sitemap_locs(seed, i, counts))
 
 
 def gen_pages(
@@ -197,13 +240,23 @@ def gen_pages(
     n_hosts: int = 8,
     seed: int = DEFAULT_SEED,
     sitemaps: bool = False,
+    sitemap_index: bool = False,
+    robots_sitemaps: bool = False,
 ) -> pd.DataFrame:
     """pages(url, warc_ts, html binary, text, lang) per input_hint.
 
     ``sitemaps=True`` appends, per host, a ``/sitemap.xml`` page (XML
     ``<loc>`` listing) and 1-2 ORPHAN pages it alone references — the
-    sitemap-discovery fixtures.  Default False keeps every existing
-    golden's input byte-identical."""
+    sitemap-discovery fixtures.  ``sitemap_index=True`` (implies
+    sitemaps) makes ``/sitemap.xml`` a ``<sitemapindex>`` naming two
+    child ``/sm_{0,1}.xml`` files that split the loc list — the
+    recursion fixture.  ``robots_sitemaps=True`` adds, on the hosts
+    :func:`has_robots_sitemap` flags, a ``/smdir/extra.xml`` sitemap at
+    a non-conventional path listing 1-2 further ``/p/r{n}`` orphans —
+    reachable only through the robots ``Sitemap:`` directive
+    (pair with ``gen_robots(sitemaps=True)``).  Default False keeps
+    every existing golden's input byte-identical."""
+    sitemaps = sitemaps or sitemap_index or robots_sitemaps
     counts = page_counts(total, n_hosts)
     rows = []
     langs = ["en", "es", "de"]
@@ -231,7 +284,24 @@ def gen_pages(
                     orphan_url(seed, i, n),
                     _page_html(seed, i, counts[i] + n, counts).encode("utf-8"),
                 )
-            add(sitemap_url(i), _sitemap_xml(seed, i, counts).encode("utf-8"))
+            locs = _sitemap_locs(seed, i, counts)
+            if sitemap_index:
+                kids = [child_sitemap_url(i, 0), child_sitemap_url(i, 1)]
+                add(sitemap_url(i), _sitemapindex_xml(kids).encode("utf-8"))
+                add(kids[0], _urlset_xml(locs[0::2]).encode("utf-8"))
+                add(kids[1], _urlset_xml(locs[1::2]).encode("utf-8"))
+            else:
+                add(sitemap_url(i), _urlset_xml(locs).encode("utf-8"))
+            if robots_sitemaps and has_robots_sitemap(seed, i):
+                off = counts[i] + n_orphans(seed, i)
+                rs = []
+                for n in range(n_rs_orphans(seed, i)):
+                    rs.append(rs_orphan_url(seed, i, n))
+                    add(
+                        rs[-1],
+                        _page_html(seed, i, off + n, counts).encode("utf-8"),
+                    )
+                add(robots_sitemap_url(i), _urlset_xml(rs).encode("utf-8"))
     return pd.DataFrame(rows)
 
 
@@ -243,11 +313,19 @@ def gen_seeds(n_hosts: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def gen_robots(n_hosts: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+def gen_robots(
+    n_hosts: int = 8, seed: int = DEFAULT_SEED, sitemaps: bool = False
+) -> pd.DataFrame:
     """robots(host, disallow, allow) — covers REP precedence: allow-all
     hosts, prefix disallows, a wildcard+anchored disallow, deny-all with
     an anchored Allow carve-out for the seed, and Allow-overrides-Disallow
-    on the /private/open/ subtree."""
+    on the /private/open/ subtree.
+
+    ``sitemaps=True`` adds the optional ``sitemaps`` column — the robots
+    ``Sitemap:`` directive analog — pointing the :func:`has_robots_sitemap`
+    hosts at their non-conventional :func:`robots_sitemap_url` (pair with
+    ``gen_pages(robots_sitemaps=True)``).  Default False keeps the
+    3-column schema every existing golden builds DataFrames from."""
     rows = []
     for i in range(n_hosts):
         alw: list[str] = []
@@ -261,7 +339,12 @@ def gen_robots(n_hosts: int = 8, seed: int = DEFAULT_SEED) -> pd.DataFrame:
             dis = ["/p/*7.html$"]  # wildcard body + end anchor
         else:
             dis = []
-        rows.append({"host": host_name(i), "disallow": dis, "allow": alw})
+        row = {"host": host_name(i), "disallow": dis, "allow": alw}
+        if sitemaps:
+            row["sitemaps"] = (
+                [robots_sitemap_url(i)] if has_robots_sitemap(seed, i) else []
+            )
+        rows.append(row)
     return pd.DataFrame(rows)
 
 

@@ -109,3 +109,117 @@ def test_sitemap_golden_engine_matches_pyref(
         for n in range(synth.n_orphans(synth.DEFAULT_SEED, i))
     }
     assert {u for _, _, u in eng.crawl_order()} & orphans
+
+
+# ---------------------------------------------------------------------------
+# sitemap INDEX recursion (<sitemapindex> -> child /sm_{c}.xml -> orphans)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def idx_fixtures():
+    return {
+        "pages": synth.gen_pages(N_PAGES, N_HOSTS, sitemap_index=True),
+        "seeds": synth.gen_seeds(N_HOSTS),
+        "robots": synth.gen_robots(N_HOSTS),
+        "budget": synth.gen_hostbudget(N_HOSTS),
+    }
+
+
+def test_sitemap_index_recursion_golden(spark, idx_fixtures, tmp_path_factory):
+    """/sitemap.xml is an INDEX naming child /sm_{0,1}.xml files (which a
+    <loc> admits as fetchable pages — the .xml rule lives in the sitemap
+    channel only); orphans are now TWO sitemap hops from the seed and
+    must still be reached, in exact pyref order."""
+    ref = PyRefCrawl(
+        idx_fixtures["pages"], idx_fixtures["seeds"], idx_fixtures["robots"],
+        idx_fixtures["budget"], use_sitemaps=True,
+    )
+    ref.run(max_rounds=50)
+    fetched = {u for _, _, u in ref.crawl_order}
+    assert any("/sm_0.xml" in u for u in fetched), "child sitemap not fetched"
+    orphans = {
+        synth.orphan_url(synth.DEFAULT_SEED, i, n)
+        for i in range(N_HOSTS)
+        for n in range(synth.n_orphans(synth.DEFAULT_SEED, i))
+    }
+    assert fetched & orphans, "no orphan reached through the index"
+
+    eng = _mk_engine(
+        spark, idx_fixtures, tmp_path_factory.mktemp("smi"), use_sitemaps=True
+    )
+    eng.run(max_rounds=50)
+    assert eng.crawl_order() == ref.crawl_order
+    assert set(eng.seen_urls()) == set(ref.seen_urls())
+
+
+# ---------------------------------------------------------------------------
+# robots Sitemap: directive (non-conventional path -> /p/r{n} orphans)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rsm_fixtures():
+    return {
+        "pages": synth.gen_pages(N_PAGES, N_HOSTS, robots_sitemaps=True),
+        "seeds": synth.gen_seeds(N_HOSTS),
+        "robots": synth.gen_robots(N_HOSTS, sitemaps=True),
+        "budget": synth.gen_hostbudget(N_HOSTS),
+    }
+
+
+def _rs_orphans():
+    return {
+        synth.rs_orphan_url(synth.DEFAULT_SEED, i, n)
+        for i in range(N_HOSTS)
+        if synth.has_robots_sitemap(synth.DEFAULT_SEED, i)
+        for n in range(synth.n_rs_orphans(synth.DEFAULT_SEED, i))
+    }
+
+
+def test_robots_sitemap_directive_golden(spark, rsm_fixtures, tmp_path_factory):
+    """Hosts declaring a Sitemap: directive (optional `sitemaps` robots
+    column) get their NON-conventional /smdir/extra.xml fetched the
+    round after the host is first touched; the /p/r{n} orphans it alone
+    lists must be crawled — in exact pyref order — while the
+    conventional-probe-only channel never finds them."""
+    ref = PyRefCrawl(
+        rsm_fixtures["pages"], rsm_fixtures["seeds"], rsm_fixtures["robots"],
+        rsm_fixtures["budget"], use_sitemaps=True,
+    )
+    ref.run(max_rounds=50)
+    fetched = {u for _, _, u in ref.crawl_order}
+    assert any("/smdir/extra.xml" in u for u in fetched), "directive sitemap not fetched"
+    assert fetched & _rs_orphans(), "no robots-sitemap orphan reached"
+
+    eng = CrawlEngine(
+        spark,
+        pages=spark.createDataFrame(
+            rsm_fixtures["pages"],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ),
+        seeds=spark.createDataFrame(rsm_fixtures["seeds"]),
+        robots=spark.createDataFrame(
+            rsm_fixtures["robots"],
+            "host string, disallow array<string>, allow array<string>, "
+            "sitemaps array<string>",
+        ),
+        hostbudget=spark.createDataFrame(rsm_fixtures["budget"]),
+        base_dir=str(tmp_path_factory.mktemp("rsm")),
+        mode="exact", n_shards=4, salt=4, m_bits=1 << 18, k=7,
+        use_sitemaps=True,
+    )
+    eng.run(max_rounds=50)
+    assert eng.crawl_order() == ref.crawl_order
+    assert set(eng.seen_urls()) == set(ref.seen_urls())
+
+
+def test_robots_sitemap_ignored_without_optin(spark, rsm_fixtures):
+    """The `sitemaps` robots column is inert when use_sitemaps is off —
+    and inert in pyref too (parity of the OPT-OUT pair on the same
+    fixtures)."""
+    ref = PyRefCrawl(
+        rsm_fixtures["pages"], rsm_fixtures["seeds"], rsm_fixtures["robots"],
+        rsm_fixtures["budget"],
+    )
+    ref.run(max_rounds=50)
+    fetched = {u for _, _, u in ref.crawl_order}
+    assert not any(".xml" in u or "/p/r" in u or "/p/o" in u for u in fetched)
