@@ -55,6 +55,12 @@ _ANCHOR_SNIPPET_RE = (
 #: source (URLs a site advertises that no <a href> on any crawled page
 #: reaches).  Only consulted when the engine opts in (use_sitemaps).
 _LOC_RE = r"<loc>([^<]+)</loc>"
+#: whole <url> entry snippets (loc + optional lastmod) — the freshness
+#: metadata unit; loc/lastmod are parsed out JVM-side post-explode (the
+#: anchor-snippet pattern), so the pass stays one C-level findall per
+#: batch.  Matches <url> blocks only: a sitemap INDEX's <sitemap><loc>
+#: children carry no page freshness.
+_SM_ENTRY_RE = r"<url>\s*<loc>[^<]*</loc>(?:\s*<lastmod>[^<]*</lastmod>)?"
 
 
 # ---------------------------------------------------------------------------
@@ -95,6 +101,20 @@ def extract_sitemap_locs_py(html: bytes) -> list[str]:
     twin of :func:`extract_sitemap_locs_udf`."""
     s = html.decode("utf-8", errors="replace")
     return re.findall(_LOC_RE, s)
+
+
+def extract_sitemap_entries_py(html: bytes) -> list[tuple[str, str]]:
+    """(loc, lastmod) pairs from <url> entries — lastmod '' when absent;
+    the pyref twin of :func:`extract_sitemap_entry_snippets_udf` plus the
+    engine's JVM-side loc/lastmod regexp_extract."""
+    s = html.decode("utf-8", errors="replace")
+    out = []
+    for snip in re.findall(_SM_ENTRY_RE, s):
+        loc = re.search(r"<loc>([^<]+)</loc>", snip)
+        lm = re.search(r"<lastmod>([^<]+)</lastmod>", snip)
+        if loc:
+            out.append((loc.group(1), lm.group(1) if lm else ""))
+    return out
 
 
 def resolve_href_py(base_url: str, href: str) -> str:
@@ -152,6 +172,14 @@ def extract_sitemap_locs_udf(html: pd.Series) -> pd.Series:
     empty list on non-sitemap pages, so the opt-in fan-out can apply it
     uniformly to every fetched page with no URL-conditional branch."""
     return _decode_utf8(html).str.findall(_LOC_RE)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_sitemap_entry_snippets_udf(html: pd.Series) -> pd.Series:
+    """Raw ``<url><loc>...</loc>[<lastmod>...</lastmod>]`` snippets (one
+    C-level findall); loc and lastmod parse out JVM-side post-explode —
+    the freshness-metadata source for ``sitemapmeta``."""
+    return _decode_utf8(html).str.findall(_SM_ENTRY_RE)
 
 
 @F.pandas_udf(ArrayType(StringType()))

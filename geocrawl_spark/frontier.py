@@ -1148,6 +1148,54 @@ class CrawlEngine:
                     kinded = kinded.unionByName(
                         loc.select(*kinded.columns)
                     )
+                    # freshness metadata: (canon loc, max advertised
+                    # lastmod) from this round's <url> entries — the
+                    # sitemapmeta table stale_by_sitemap() reads.  W3C
+                    # datetime parse (full ISO second resolution, then
+                    # date-only), unparseable lastmods dropped; one more
+                    # vectorized findall pass + a tiny groupBy (sitemap
+                    # pages are a sliver of any fetch batch)
+                    sme = got.select(
+                        "url",
+                        F.explode(
+                            A.extract_sitemap_entry_snippets_udf("html")
+                        ).alias("s"),
+                    ).select(
+                        "url",
+                        F.regexp_extract("s", r"<loc>([^<]+)</loc>", 1).alias(
+                            "loc"
+                        ),
+                        F.regexp_extract(
+                            "s", r"<lastmod>([^<]+)</lastmod>", 1
+                        ).alias("lm"),
+                    ).filter((F.col("loc") != "") & (F.col("lm") != ""))
+                    sm_meta = (
+                        sme.select(
+                            canonicalize_url_expr(
+                                A.resolve_href_expr(F.col("url"), F.col("loc"))
+                            ).alias("url"),
+                            F.coalesce(
+                                F.try_to_timestamp(
+                                    F.col("lm"),
+                                    F.lit("yyyy-MM-dd'T'HH:mm:ss"),
+                                ),
+                                F.try_to_timestamp(
+                                    F.col("lm"), F.lit("yyyy-MM-dd")
+                                ),
+                            ).alias("lastmod"),
+                        )
+                        .filter(F.col("lastmod").isNotNull())
+                        .groupBy("url")
+                        .agg(F.max("lastmod").alias("lastmod"))
+                    )
+                    writes.append(
+                        pool.submit(
+                            self.io.write_table,
+                            sm_meta,
+                            "sitemapmeta",
+                            round_no,
+                        )
+                    )
                 if self.log_links:
                     # the links write and the admission pass both consume the
                     # exploded/extracted edge set — persist it so the pandas
@@ -1340,6 +1388,7 @@ class CrawlEngine:
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
              "crawl_log", "extracted", "metadata", "dead_letters", "host_log",
              "links",  # opt-in link-graph log (declared only when written)
+             "sitemapmeta",  # opt-in sitemap lastmod freshness (ditto)
              "hosterr",  # opt-in adaptive-budget feedback (ditto)
              "hostqual",  # opt-in quality-feedback prioritization (ditto)
              "hosttrap",  # opt-in spider-trap quarantine stats (ditto)
@@ -1445,6 +1494,35 @@ class CrawlEngine:
         return (
             f.filter(F.col("status").isin("fetched", "missing"))
             .filter(F.col("fetch_round") <= cutoff)
+            .select("url")
+        )
+
+    def stale_by_sitemap(self) -> DataFrame:
+        """PROTOCOL-NATIVE refresh selector: fetched urls whose sitemap-
+        advertised ``<lastmod>`` (max over every committed round's
+        ``sitemapmeta`` — a url may appear in several sitemaps) is NEWER
+        than the ``warc_ts`` of the snapshot we extracted on the LAST
+        fetch — i.e. exactly what the site says changed since we read
+        it.  Complements :meth:`stale_urls` (age policy when the site
+        advertises nothing): ``eng.refresh(eng.stale_by_sitemap())`` is
+        the freshness loop real crawlers run off sitemap pings.  Urls we
+        never fetched (pending / robots-denied / missing) are not
+        "stale" — admission or :meth:`stale_urls` owns those.  Plan:
+        two bounded reads, two tiny per-url aggregates, one join — no
+        corpus scan.  Twin: pyref ``stale_by_sitemap()``."""
+        meta = read_all_rounds(self.spark, self.io, "sitemapmeta")
+        if meta is None:
+            return self.spark.createDataFrame([], "url string")
+        latest = meta.groupBy("url").agg(F.max("lastmod").alias("lastmod"))
+        ext = read_all_rounds(self.spark, self.io, "extracted")
+        if ext is None:
+            return self.spark.createDataFrame([], "url string")
+        fetched = ext.groupBy("url").agg(
+            F.expr("max_by(warc_ts, round)").alias("fetched_ts")
+        )
+        return (
+            latest.join(fetched, "url")
+            .filter(F.col("lastmod") > F.col("fetched_ts"))
             .select("url")
         )
 

@@ -12,12 +12,14 @@ itself is written twice on purpose — that is the point of the oracle.
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 
 import pandas as pd
 
 from .assets import (
     extract_link_anchors_py,
+    extract_sitemap_entries_py,
     extract_sitemap_locs_py,
     extract_text_py,
     is_asset_py,
@@ -139,6 +141,11 @@ class PyRefCrawl:
                 sm = getattr(r, "sitemaps", None)
                 if sm is not None and len(sm):
                     self.robots_sitemaps[r.host] = [u for u in sm if u]
+        # freshness twins: max advertised <lastmod> per canon url (the
+        # engine's sitemapmeta max-over-rounds) and the warc_ts of each
+        # url's LAST fetch (the engine's max_by(warc_ts, round))
+        self.sitemap_lastmod: dict[str, _dt.datetime] = {}
+        self.fetched_ts: dict = {}
         self.content_seen: set[int] = set()
         self.seen = PySeenFilter(mode, n_shards, m_bits, k)
         self.frontier: dict[str, dict] = {}
@@ -336,6 +343,7 @@ class PyRefCrawl:
             self.crawl_order.append((round_no, seq, row["url"]))
             html = page.html if isinstance(page.html, bytes) else bytes(page.html)
             self.extracted[row["url"]] = extract_text_py(html)
+            self.fetched_ts[row["url"]] = page.warc_ts
             if self.mirror_guard:
                 # content_seen updates immediately (within-round ordering
                 # by fetch_seq — this loop IS that order); per-host stats
@@ -388,6 +396,30 @@ class PyRefCrawl:
                     self.links.append((row["url"], canon, kind, ""))
                     if canon not in cands or d < cands[canon][0]:
                         cands[canon] = (d, kind)
+                # freshness metadata twin (engine sitemapmeta): max
+                # advertised lastmod per canon loc; strict W3C formats
+                # (full ISO seconds, then date-only) — unparseable drop
+                for loc, lm in extract_sitemap_entries_py(html):
+                    if not lm:
+                        continue
+                    ts = None
+                    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+                        try:
+                            # naive W3C timestamp read as UTC — the same
+                            # reading Spark's try_to_timestamp gives it
+                            # under the session's UTC timezone
+                            ts = _dt.datetime.strptime(lm, fmt).replace(
+                                tzinfo=_dt.timezone.utc
+                            )
+                            break
+                        except ValueError:
+                            pass
+                    if ts is None:
+                        continue
+                    canon = canonicalize_url(resolve_href_py(row["url"], loc))
+                    prev = self.sitemap_lastmod.get(canon)
+                    if prev is None or ts > prev:
+                        self.sitemap_lastmod[canon] = ts
 
         rows, deduped, denied = self._admit(cands, round_no)
         if self.trap_guard:
@@ -496,6 +528,16 @@ class PyRefCrawl:
             if row["status"] in ("fetched", "missing")
             and row["fetch_round"] is not None
             and row["fetch_round"] <= cutoff
+        )
+
+    def stale_by_sitemap(self) -> list[str]:
+        """Twin of CrawlEngine.stale_by_sitemap: fetched urls whose max
+        advertised sitemap <lastmod> is newer than the warc_ts of their
+        last-fetched snapshot."""
+        return sorted(
+            u
+            for u, lm in self.sitemap_lastmod.items()
+            if u in self.fetched_ts and lm > self.fetched_ts[u]
         )
 
     # ------------------------------------------------------------------

@@ -3417,3 +3417,74 @@ def tfidf_topterms(spark, sf_dir):
         .select("doc_id", "term", "tf", "df", "score_bits", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space eval: trained-IVF cluster purity against gold labels
+# ---------------------------------------------------------------------------
+
+def _label_purity_sql() -> str:
+    from .queries_ml import _ivf_sql_ctes
+
+    return f"""
+    with {_ivf_sql_ctes()},
+    m as (select vec_id, cid from assign where rk = 1),
+    j as (select m.cid, e.label from m join embeddings e using (vec_id)),
+    c as (select cid, label, count(*)::bigint as n from j group by 1, 2),
+    t as (select cid, sum(n)::bigint as cluster_n from c group by 1),
+    r as (select cid, label, n,
+                 row_number() over (partition by cid order by n desc, label) as rk
+          from c)
+    select r.cid::bigint as cid, r.label::bigint as top_label, r.n as top_n,
+           t.cluster_n, ((1000 * r.n) // t.cluster_n)::bigint as purity_permille
+    from r join t using (cid) where r.rk = 1 order by cid
+    """
+
+
+@_q("ivf_label_purity", _label_purity_sql())
+def ivf_label_purity(spark, sf_dir):
+    """Embedding-quality eval: per trained-IVF cluster, the majority GOLD
+    label (the `label` column the embeddings table carries), its count,
+    the cluster size, and integer per-mille purity — the standard
+    clustering-vs-ground-truth report a pipeline runs before trusting
+    unsupervised clusters for dedup caps, topic mixing, or SemDeDup
+    pruning (high purity = the cheap clusters track real semantics; low
+    purity = bucketed dedup is comparing unrelated docs).
+
+    Reuses the one trained-centroid assignment
+    (:func:`queries_ml._ivf_assign_ranked`, rk=1) that search/dedup/
+    topic-mix already share — no new training pass.  Scale shape: the
+    K-bounded centroid broadcast scan plus two tiny (cid, label)
+    aggregates; majority pick is a row_number window over the per-
+    cluster label histogram (K x |labels| rows — trivially small); all
+    output math is integer (count, floor-division per-mille), so the
+    oracle hash cannot drift."""
+    from .queries_ml import _dvec, _dot, _ivf_assign_ranked, _ivf_k_of, _vec_count
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("e"))
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    k = _ivf_k_of(_vec_count(sf_dir, "embeddings", n))
+    m = _ivf_assign_ranked(n, k).filter(F.col("rk") == 1).select("vec_id", "cid")
+    c = (
+        m.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = c.groupBy("cid").agg(F.sum("n").cast("long").alias("cluster_n"))
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(t, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("label").cast("long").alias("top_label"),
+            F.col("n").alias("top_n"),
+            "cluster_n",
+            F.expr("(1000 * n) div cluster_n").cast("long").alias(
+                "purity_permille"
+            ),
+        )
+        .orderBy("cid")
+    )

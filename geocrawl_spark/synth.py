@@ -217,8 +217,27 @@ def _sitemap_locs(seed: int, i: int, counts: list[int]) -> list[str]:
     return locs
 
 
-def _urlset_xml(locs: list[str]) -> str:
-    body = "\n".join(f"<url><loc>{u}</loc></url>" for u in locs)
+def page_ts(seed: int, url: str) -> dt.datetime:
+    """Deterministic warc_ts for a url (the one gen_pages stamps)."""
+    return EPOCH + dt.timedelta(seconds=hq(seed, "ts", url) % 31536000)
+
+
+def sitemap_lastmod(seed: int, url: str) -> dt.datetime:
+    """Deterministic advertised <lastmod>: warc_ts + (-2..+2) days — the
+    positive deltas (~2/5 of listed urls) are the STALE ones (site says
+    the page changed after the snapshot we hold)."""
+    return page_ts(seed, url) + dt.timedelta(days=hq(seed, "lmd", url) % 5 - 2)
+
+
+def _urlset_xml(locs: list[str], lastmods: list[str | None] | None = None) -> str:
+    if lastmods is None:
+        lastmods = [None] * len(locs)
+    body = "\n".join(
+        f"<url><loc>{u}</loc><lastmod>{lm}</lastmod></url>"
+        if lm
+        else f"<url><loc>{u}</loc></url>"
+        for u, lm in zip(locs, lastmods)
+    )
     return f'<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n{body}\n</urlset>'
 
 
@@ -242,6 +261,7 @@ def gen_pages(
     sitemaps: bool = False,
     sitemap_index: bool = False,
     robots_sitemaps: bool = False,
+    lastmod: bool = False,
 ) -> pd.DataFrame:
     """pages(url, warc_ts, html binary, text, lang) per input_hint.
 
@@ -254,9 +274,13 @@ def gen_pages(
     :func:`has_robots_sitemap` flags, a ``/smdir/extra.xml`` sitemap at
     a non-conventional path listing 1-2 further ``/p/r{n}`` orphans —
     reachable only through the robots ``Sitemap:`` directive
-    (pair with ``gen_robots(sitemaps=True)``).  Default False keeps
+    (pair with ``gen_robots(sitemaps=True)``).  ``lastmod=True``
+    (implies sitemaps; flat form) stamps each flat-sitemap ``<loc>``
+    with :func:`sitemap_lastmod` — warc_ts +/- up to 2 days, so ~2/5 of
+    listed urls advertise a change NEWER than the held snapshot (the
+    stale_by_sitemap fixtures).  Default False keeps
     every existing golden's input byte-identical."""
-    sitemaps = sitemaps or sitemap_index or robots_sitemaps
+    sitemaps = sitemaps or sitemap_index or robots_sitemaps or lastmod
     counts = page_counts(total, n_hosts)
     rows = []
     langs = ["en", "es", "de"]
@@ -265,7 +289,7 @@ def gen_pages(
         rows.append(
             {
                 "url": url,
-                "warc_ts": EPOCH + dt.timedelta(seconds=hq(seed, "ts", url) % 31536000),
+                "warc_ts": page_ts(seed, url),
                 "html": html,
                 "text": extract_text_py(html),
                 "lang": langs[hq(seed, "lang", url) % 3],
@@ -291,7 +315,15 @@ def gen_pages(
                 add(kids[0], _urlset_xml(locs[0::2]).encode("utf-8"))
                 add(kids[1], _urlset_xml(locs[1::2]).encode("utf-8"))
             else:
-                add(sitemap_url(i), _urlset_xml(locs).encode("utf-8"))
+                lms = (
+                    [
+                        sitemap_lastmod(seed, u).strftime("%Y-%m-%dT%H:%M:%S")
+                        for u in locs
+                    ]
+                    if lastmod
+                    else None
+                )
+                add(sitemap_url(i), _urlset_xml(locs, lms).encode("utf-8"))
             if robots_sitemaps and has_robots_sitemap(seed, i):
                 off = counts[i] + n_orphans(seed, i)
                 rs = []
