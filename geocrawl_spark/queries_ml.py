@@ -1830,3 +1830,116 @@ def embedding_sq_codes(spark, sf_dir):
         *word_cols,
         F.expr("aggregate(errs, 0L, (acc, x) -> acc + x)").alias("err_micro"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall as a first-class operator (the measurement scripts/ivf_recall.py
+# runs ad hoc, registered so the driver's gate grades it every round)
+# ---------------------------------------------------------------------------
+
+def _ann_recall_sql() -> str:
+    """Oracle twin of :func:`ann_recall_eval`: the sim_ivf_topk candidate
+    CTEs (same multi-probe schedule) next to a brute-force top-3 ground
+    truth restricted to the SAME query set, joined into per-query hit
+    counts.  Integer output only (hits, k, per-mille recall)."""
+    return f"""
+    with {_ivf_sql_ctes()},
+    q as (select n.vec_id as query_id, e as qe, nrm as qn, a.cid
+          from n join assign a using (vec_id)
+          where vec_id % 50 = 0 and a.rk <= {_NPROBE_SQL}),
+    t as (select n.vec_id as target_id, e as te, nrm as tn, a.cid
+          from n join assign a using (vec_id) where a.rk = 1),
+    ivp as (
+      select query_id, target_id,
+             round(list_dot_product(qe, te) / (qn * tn), 3) as cos
+      from q join t using (cid)
+      where target_id != query_id
+    ),
+    ivt as (select query_id, target_id from (
+      select *, row_number() over (partition by query_id
+                                   order by cos desc, target_id) as rk
+      from ivp) where rk <= 3),
+    bfp as (
+      select q2.vec_id as query_id, t2.vec_id as target_id,
+             round(list_dot_product(q2.e, t2.e) / (q2.nrm * t2.nrm), 3) as cos
+      from n q2 join n t2 on t2.vec_id != q2.vec_id
+      where q2.vec_id % 50 = 0
+    ),
+    bft as (select query_id, target_id from (
+      select *, row_number() over (partition by query_id
+                                   order by cos desc, target_id) as rk
+      from bfp) where rk <= 3),
+    j as (select b.query_id, count(i.target_id)::bigint as hits
+          from bft b left join ivt i
+            on b.query_id = i.query_id and b.target_id = i.target_id
+          group by b.query_id)
+    select query_id::bigint as query_id, hits, 3::bigint as k,
+           ((1000 * hits) // 3)::bigint as recall_permille
+    from j order by query_id
+    """
+
+
+@_q("ann_recall_eval", _ann_recall_sql())
+def ann_recall_eval(spark, sf_dir):
+    """Recall@3 of the trained-IVF multi-probe search against the exact
+    brute-force ground truth ON THE SAME QUERY SET — the measurement
+    scripts/ivf_recall.py runs ad hoc, promoted to a registered operator
+    so the driver's DuckDB gate re-grades the index quality every round
+    (a pipeline that caps or re-buckets its ANN should ALSO ship the
+    recall number; the no-silent-degradation contract, like
+    ivf_bucket_stats for truncation).
+
+    Scale shape: the IVF side is the shared sublinear plan
+    (:func:`sim_ivf_topk` verbatim); the ground-truth side is brute
+    force restricted to the ~n/50 query rows — O(n^2/50) dot products,
+    the price of MEASURING recall, run on a sample at the 100 TB point
+    (the query-set filter is the sample knob).  Output is pure integer
+    (hits of 3, per-mille), so the oracle hash cannot drift."""
+    ivf_top = sim_ivf_topk(spark, sf_dir).select("query_id", "target_id")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    q = n.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    t = n.select(
+        F.col("vec_id").alias("target_id"),
+        F.col("e").alias("te"),
+        F.col("nrm").alias("tn"),
+    )
+    bfp = (
+        F.broadcast(q)
+        .join(t, F.col("target_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "target_id",
+            F.round(
+                _dot(F.col("qe"), F.col("te")) / (F.col("qn") * F.col("tn")), 3
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "target_id")
+    bft = (
+        bfp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "target_id")
+    )
+    return (
+        bft.join(
+            ivf_top.withColumn("_hit", F.lit(1)),
+            ["query_id", "target_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "hits",
+            F.lit(3).cast("long").alias("k"),
+            F.expr("(1000 * hits) div 3").cast("long").alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )

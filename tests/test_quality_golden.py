@@ -22,10 +22,12 @@ N_PAGES, N_HOSTS = 80, 6
 @pytest.fixture(scope="module")
 def fixtures():
     return {
-        # sitemaps=True plants per-host sitemap.xml + orphan pages; the
-        # non-sitemap tests never admit them (parity unaffected), the
-        # composed test opts in and must reach the orphans
-        "pages": synth.gen_pages(N_PAGES, N_HOSTS, sitemaps=True),
+        # lastmod=True (implies sitemaps) plants per-host sitemap.xml +
+        # orphan pages with advertised <lastmod> stamps; the non-sitemap
+        # tests never admit them (parity unaffected), the composed test
+        # opts in, must reach the orphans, and exercises the freshness
+        # selector alongside every other opt-in
+        "pages": synth.gen_pages(N_PAGES, N_HOSTS, lastmod=True),
         "seeds": synth.gen_seeds(N_HOSTS),
         "robots": synth.gen_robots(N_HOSTS),
         "budget": synth.gen_hostbudget(N_HOSTS),
@@ -160,3 +162,11 @@ def test_quality_rank_composed_optins_refresh_resume(
         if row["status"] == "fetched"
     )
     assert eng2.crawl_order() == ref_order
+    # the freshness selector composes too: sitemapmeta accumulated
+    # through crawl + refresh + resume, and the resumed engine's stale
+    # set matches the twin's
+    ref_stale = ref.stale_by_sitemap()
+    assert ref_stale
+    assert sorted(
+        r["url"] for r in eng2.stale_by_sitemap().collect()
+    ) == ref_stale
