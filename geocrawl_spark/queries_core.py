@@ -290,6 +290,87 @@ def robots_precedence(spark, sf_dir):
     )
 
 
+# robots.txt REP parsing (robots.parse_robots_txt — where the engine's
+# robots dimension comes from on a real crawl): 25 synthetic robots.txt
+# bodies built from nation keys exercise group selection (exact
+# product-token beats *), comment stripping, case-insensitive directives,
+# per-group Crawl-delay, and file-global Sitemap lines.  The oracle states
+# the expected parse ANALYTICALLY from the same integer rules (the
+# canon_urls pattern), independently checking the whole parser chain.
+# Arrays flatten to '|'-joined strings and a missing crawl-delay becomes
+# the -1 sentinel, so the value hash never sees engine-specific list or
+# null materializations.
+@_q(
+    "robots_txt_parse",
+    """
+    with n as (select n_nationkey::BIGINT as k from nation)
+    select 'n' || k::varchar || '.example.org' as host,
+           case when k % 3 = 0 then '/g' || k::varchar || '/'
+                else '/private' || k::varchar || '/' end as disallow_csv,
+           case when k % 3 <> 0 and k % 2 = 1
+                then '/private' || k::varchar || '/pub/' else '' end as allow_csv,
+           (case when k % 3 = 0
+                 then (case when k % 2 = 0 then k % 5 + 2 else -1 end)
+                 when k % 2 = 0 then k % 5 + 1
+                 else -1 end)::BIGINT as crawl_delay,
+           case when k % 5 = 0
+                then 'http://n' || k::varchar || '.example.org/sm'
+                     || k::varchar || '.xml'
+                else '' end as sitemap_csv
+    from n
+    """,
+)
+def robots_txt_parse(spark, sf_dir):
+    from .robots import parse_robots_txt
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    ks = k.cast("string")
+    host = F.concat(F.lit("n"), ks, F.lit(".example.org"))
+    # body lines, each present per an integer rule on k; array_join drops
+    # the null (absent) ones.  The star group always exists; every third
+    # host adds a specific-agent group whose rules must WIN outright.
+    lines = F.array(
+        F.when(k % 4 == 0, F.lit("# synthetic robots")),
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit("Sitemap: http://n"), ks,
+                F.lit(".example.org/sm"), ks, F.lit(".xml"),
+            ),
+        ),
+        F.lit("User-agent: *"),
+        F.when(
+            k % 7 == 0, F.concat(F.lit("DISALLOW: /private"), ks, F.lit("/"))
+        ).otherwise(F.concat(F.lit("Disallow: /private"), ks, F.lit("/"))),
+        F.when(
+            k % 2 == 1, F.concat(F.lit("Allow: /private"), ks, F.lit("/pub/"))
+        ),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("Crawl-delay: "), (k % 5 + 1).cast("string")),
+        ),
+        F.when(k % 3 == 0, F.lit("User-Agent: GeoCrawl")),
+        F.when(k % 3 == 0, F.concat(F.lit("Disallow: /g"), ks, F.lit("/"))),
+        F.when(
+            (k % 3 == 0) & (k % 2 == 0),
+            F.concat(F.lit("Crawl-delay: "), (k % 5 + 2).cast("string")),
+        ),
+    )
+    bodies = n.select(
+        host.alias("host"), F.array_join(lines, "\n").alias("body")
+    )
+    return parse_robots_txt(bodies).select(
+        "host",
+        F.array_join("disallow", "|").alias("disallow_csv"),
+        F.array_join("allow", "|").alias("allow_csv"),
+        F.coalesce("crawl_delay", F.lit(-1)).cast("long").alias("crawl_delay"),
+        F.array_join("sitemaps", "|").alias("sitemap_csv"),
+    )
+
+
 # effective politeness budget under crawl-delay (H1 + robots crawl-delay):
 # eff = least(base + carry, max(1, floor(round_seconds / delay))), no cap
 # when no positive delay — the exact expression CrawlEngine uses
