@@ -24,7 +24,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:  # robust under importlib-from-path loading
     sys.path.insert(0, _REPO)
 
-from geocrawl_spark import queries_core, queries_ml, queries_pipeline  # noqa: F401,E402 (registration)
+from geocrawl_spark import queries_core, queries_ml, queries_pipeline, queries_webidx  # noqa: F401,E402 (registration)
 from geocrawl_spark.gdalmeta import extract_gdal_metadata
 from geocrawl_spark.geometry import polygon_wkt_expr
 from geocrawl_spark.parsers import parse_name_expr
