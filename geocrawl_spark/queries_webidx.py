@@ -18,6 +18,12 @@ four operators close that loop as first-class oracle-gated queries:
 - :func:`outlink_degree_hist`  — log2 out-degree histogram of the host
                                  link graph (the shape check a crawl
                                  frontier runs before trusting PageRank)
+- :func:`warc_roundtrip`       — WARC/1.0 (ISO 28500) record synthesis
+                                 + generic parse-back, asserting the
+                                 byte-identical-text invariant at the
+                                 storage-format boundary
+- :func:`postings_size_est`    — delta+varint byte estimate for the
+                                 inverted index ``bm25_topk`` builds
 
 Scale shape: every operator is one corpus scan plus (at most) one
 broadcast join against a tiny dimension or one groupBy on a key whose
@@ -356,4 +362,170 @@ def outlink_degree_hist(spark, sf_dir):
             F.sum("deg").cast("long").alias("n_edges"),
         )
         .orderBy("direction", "log2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC record round-trip
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "warc_roundtrip",
+    """
+    with rec as (
+      select doc_id, text,
+             'WARC/1.0' || chr(13) || chr(10)
+             || 'WARC-Type: response' || chr(13) || chr(10)
+             || 'WARC-Target-URI: http://host' || (doc_id % 7)::varchar
+               || '.example.org/p/' || doc_id::varchar || '.html'
+               || chr(13) || chr(10)
+             || 'Content-Length: ' || length(text)::varchar
+               || chr(13) || chr(10) || chr(13) || chr(10)
+             || text as warc
+      from documents
+    ),
+    parsed as (
+      select doc_id, text,
+             regexp_extract(warc, 'WARC-Target-URI: ([^\\r]+)', 1) as uri,
+             regexp_extract(warc, 'Content-Length: ([0-9]+)', 1)::bigint
+               as content_length,
+             substr(
+               warc,
+               strpos(warc, chr(13)||chr(10)||chr(13)||chr(10)) + 4
+             ) as body
+      from rec
+    )
+    select doc_id, uri, content_length,
+           (length(body) = content_length and md5(body) = md5(text))
+             as roundtrip_ok
+    from parsed order by doc_id
+    """,
+)
+def warc_roundtrip(spark, sf_dir):
+    """WARC/1.0 record synthesis + parse-back — the storage format this
+    crawl tier actually reads and writes (ISO 28500, the Common Crawl
+    container).  Each doc is serialized as a response record (version
+    line, WARC-Type / WARC-Target-URI / Content-Length headers, CRLF
+    CRLF, body) and then parsed back by a GENERIC header scanner:
+    regexp header extraction + split-at-first-blank-line body slicing —
+    all JVM string kernels, no Python.  ``roundtrip_ok`` asserts the
+    north-rule invariant at the format boundary: the body that comes
+    back out is byte-identical (length AND md5) to the text that went
+    in.  The oracle builds and parses the same record with DuckDB's
+    independent string engine.
+
+    Scale: one scan, zero shuffles, zero UDFs — the parse side is the
+    shape a `mapInPandas`-free WARC reader takes over raw archive
+    bytes (headers are ASCII; binary payloads ride a binary column)."""
+    d = _t(spark, sf_dir, "documents")
+    crlf = "\r\n"
+    uri = F.concat(
+        F.lit("http://host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: "), uri, F.lit(crlf),
+        F.lit("Content-Length: "), F.length("text").cast("string"),
+        F.lit(crlf + crlf),
+        F.col("text"),
+    )
+    rec = d.select("doc_id", "text", warc.alias("warc"))
+    parsed = rec.select(
+        "doc_id",
+        "text",
+        F.regexp_extract("warc", r"WARC-Target-URI: ([^\r]+)", 1).alias("uri"),
+        F.regexp_extract("warc", r"Content-Length: ([0-9]+)", 1)
+        .cast("long")
+        .alias("content_length"),
+        F.element_at(F.split("warc", r"\r\n\r\n", 2), 2).alias("body"),
+    )
+    return parsed.select(
+        "doc_id",
+        "uri",
+        "content_length",
+        (
+            (F.length("body") == F.col("content_length"))
+            & (F.md5(F.encode("body", "UTF-8")) == F.md5(F.encode("text", "UTF-8")))
+        ).alias("roundtrip_ok"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# posting-list compression estimate
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "postings_size_est",
+    """
+    with p as (
+      select distinct unnest(string_split(text, ' ')) as term, doc_id
+      from documents
+    ),
+    d as (
+      select term, doc_id,
+             coalesce(
+               doc_id - lag(doc_id) over (partition by term order by doc_id),
+               doc_id + 1
+             ) as delta
+      from p
+    )
+    select substr(term, 1, 1) as t0,
+           count(distinct term)::bigint as n_terms,
+           count(*)::bigint as n_postings,
+           sum((length(bin(delta)) + 6) // 7)::bigint as varint_bytes,
+           (count(*) * 8)::bigint as raw_bytes
+    from d group by 1 order by 1
+    """,
+)
+def postings_size_est(spark, sf_dir):
+    """Delta+varint size estimate for the inverted index ``bm25_topk``
+    builds — the capacity-planning query an index shard layout starts
+    from (how many bytes per posting AFTER gap encoding, per term
+    prefix).  Postings are (term, doc_id) distinct; per term the
+    doc_ids are gap-encoded (first entry absolute+1 so every delta is
+    positive) and each gap costs ``ceil(bits/7)`` varint bytes,
+    computed as the INTEGER binary-digit count — exact in both engines.
+
+    Scale: one scan + explode, one shuffle keyed on term for the lag
+    window (same key the index build itself shuffles on, so at scale
+    the two share one exchange), then a <=256-row prefix rollup.
+    raw_bytes (8 B/posting uncompressed) rides along so the estimate
+    reads as a ratio without a second query."""
+    from pyspark.sql import Window
+
+    from .queries_ml import _words
+
+    d = _t(spark, sf_dir, "documents")
+    p = (
+        d.select(F.explode(_words(F.col("text"))).alias("term"), "doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    dl = p.withColumn(
+        "delta",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1
+        ),
+    )
+    return (
+        dl.select(
+            F.substring("term", 1, 1).alias("t0"),
+            "term",
+            ((F.length(F.bin(F.col("delta"))) + 6) / 7).cast("long").alias("vb"),
+        )
+        .groupBy("t0")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count("*").cast("long").alias("n_postings"),
+            F.sum("vb").cast("long").alias("varint_bytes"),
+            (F.count("*") * 8).cast("long").alias("raw_bytes"),
+        )
+        .orderBy("t0")
     )

@@ -10,6 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from geocrawl_spark.queries_webidx import (
+    postings_size_est,
+    warc_roundtrip,
     _PSL,
     cdx_latest_capture,
     outlink_degree_hist,
@@ -142,3 +144,57 @@ def test_degree_hist_edge_mass_balances(spark):
     assert mass["out"] == mass["in"] > 0
     # the synthetic residue targets skew the in side into >1 bucket
     assert len([r for r in out if r["direction"] == "in"]) > 1
+
+
+# ---------------------------------------------------------------------------
+# WARC round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_warc_roundtrip_all_ok(spark):
+    out = warc_roundtrip(spark, SF001)
+    n = out.count()
+    assert n == 500
+    assert out.filter(~F.col("roundtrip_ok")).count() == 0
+    r0 = out.filter(F.col("doc_id") == 0).first()
+    assert r0["uri"] == "http://host0.example.org/p/0.html"
+
+
+def test_warc_parse_is_generic_not_positional(spark, tmp_path):
+    """A body that CONTAINS header-lookalike text must not confuse the
+    parser: only the first blank line splits headers from body."""
+    df = spark.createDataFrame(
+        [(0, "decoy Content-Length: 9999 and WARC-Target-URI: http://evil/", "en", "src0", 60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = warc_roundtrip(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["uri"] == "http://host0.example.org/p/0.html"
+    assert out[0]["roundtrip_ok"] is True
+
+
+# ---------------------------------------------------------------------------
+# postings size estimate
+# ---------------------------------------------------------------------------
+
+
+def test_postings_varint_hand_case(spark, tmp_path):
+    """Two docs sharing one term: postings for 'x' are [3, 200] ->
+    deltas [4, 197] -> varint bytes [1, 2]; singleton term 'y' on doc
+    200 -> delta 201 -> 2 bytes."""
+    rows = [(3, "x", "en", "src0", 1), (200, "x y", "en", "src0", 3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["t0"]: r for r in postings_size_est(spark, str(tmp_path)).collect()}
+    assert out["x"]["n_postings"] == 2 and out["x"]["varint_bytes"] == 3
+    assert out["y"]["n_postings"] == 1 and out["y"]["varint_bytes"] == 2
+    assert out["x"]["raw_bytes"] == 16
+
+
+def test_postings_varint_never_exceeds_raw(spark):
+    out = postings_size_est(spark, SF001)
+    bad = out.filter(F.col("varint_bytes") > F.col("raw_bytes")).count()
+    assert bad == 0
