@@ -232,49 +232,48 @@ def pld_rollup(spark, sf_dir):
     H1 budgets would key on this column on a real crawl).
 
     Spark is the GENERIC lookup, not the analytic shortcut the oracle
-    states: split the host into labels, emit the last-1 and last-2
-    label tails as candidate suffixes, broadcast-join them against the
-    suffix dimension (7 rows here; the full public list is ~9k — still
-    broadcast territory), keep the LONGEST match, and prepend exactly
-    one label.  The oracle derives the expected PLD analytically from
-    doc_id, so the join path is independently checked end to end.
+    states: split the host into labels, form the last-1 and last-2
+    label tails as candidate suffixes, broadcast-left-join EACH against
+    the suffix dimension (7 rows here; the full public list is ~9k —
+    still broadcast territory), and coalesce longest-first, so the
+    two-label match wins without any per-doc aggregation.  The oracle
+    derives the expected PLD analytically from doc_id, so the join
+    path is independently checked end to end.
 
-    Scale: one scan + one broadcast hash join (no shuffle) + one
+    Scale: one scan + two broadcast hash joins (ZERO doc-keyed
+    shuffles — an earlier explode+groupBy-max draft paid one; the
+    coalesce-precedence rewrite removed it, plan-checked) + one
     groupBy on PLD (cardinality ~registrable domains, map-side
     combinable)."""
-    spark_psl = spark.createDataFrame([(s, s.count(".") + 1) for s in _PSL], "suf string, nlab int")
+    psl2 = spark.createDataFrame(
+        [(s, s.count(".") + 1) for s in _PSL], "suf string, nlab int"
+    )
     d = _t(spark, sf_dir, "documents")
     host = _host_expr()
     labs = F.split(F.regexp_replace(host, r"^www\.", ""), r"\.")
-    h = d.select("doc_id", host.alias("host"), labs.alias("labs"))
-    # candidate suffixes: the last 1 and last 2 labels of each host
-    cand = h.select(
+    h = d.select(
         "doc_id",
-        "host",
-        "labs",
-        F.explode(
-            F.array(
-                F.concat_ws(",", F.slice(F.col("labs"), -1, 1)),
-                F.concat_ws(",", F.slice(F.col("labs"), -2, 2)),
-            )
-        ).alias("cand"),
-    ).withColumn("cand", F.regexp_replace(F.col("cand"), ",", "."))
-    m = cand.join(
-        F.broadcast(spark_psl), F.col("cand") == F.col("suf"), "inner"
+        host.alias("host"),
+        labs.alias("labs"),
+        F.concat_ws(".", F.slice(labs, -1, 1)).alias("c1"),
+        F.concat_ws(".", F.slice(labs, -2, 2)).alias("c2"),
+    )
+    p1 = F.broadcast(psl2.select(F.col("suf").alias("s1"), F.col("nlab").alias("n1")))
+    p2 = F.broadcast(psl2.select(F.col("suf").alias("s2"), F.col("nlab").alias("n2")))
+    m = h.join(p2, F.col("c2") == F.col("s2"), "left").join(
+        p1, F.col("c1") == F.col("s1"), "left"
     )
     # longest matched suffix wins; PLD = one label before it + the suffix
-    best = (
-        m.groupBy("doc_id", "host", "labs")
-        .agg(F.max(F.struct("nlab", "suf")).alias("b"))
-        .select(
-            "doc_id",
-            "host",
-            F.concat(
-                F.element_at(F.col("labs"), -(F.col("b.nlab") + 1)),
-                F.lit("."),
-                F.col("b.suf"),
-            ).alias("pld"),
-        )
+    best = m.filter(F.col("s2").isNotNull() | F.col("s1").isNotNull()).select(
+        "doc_id",
+        "host",
+        F.concat(
+            F.element_at(
+                F.col("labs"), -(F.coalesce(F.col("n2"), F.col("n1")) + 1)
+            ),
+            F.lit("."),
+            F.coalesce(F.col("s2"), F.col("s1")),
+        ).alias("pld"),
     )
     return (
         best.groupBy("pld")
@@ -493,19 +492,20 @@ def postings_size_est(spark, sf_dir):
     positive) and each gap costs ``ceil(bits/7)`` varint bytes,
     computed as the INTEGER binary-digit count — exact in both engines.
 
-    Scale: one scan + explode, one shuffle keyed on term for the lag
-    window (same key the index build itself shuffles on, so at scale
-    the two share one exchange), then a <=256-row prefix rollup.
-    raw_bytes (8 B/posting uncompressed) rides along so the estimate
-    reads as a ratio without a second query."""
+    Scale: one scan + explode (the per-doc ``array_distinct`` runs
+    BEFORE the explode, so (term, doc_id) is unique by construction and
+    the plan pays no global distinct exchange), one shuffle keyed on
+    term for the lag window (same key the index build itself shuffles
+    on, so at scale the two share one exchange), then a <=256-row
+    prefix rollup.  raw_bytes (8 B/posting uncompressed) rides along so
+    the estimate reads as a ratio without a second query."""
     from pyspark.sql import Window
 
     from .queries_ml import _words
 
     d = _t(spark, sf_dir, "documents")
-    p = (
-        d.select(F.explode(_words(F.col("text"))).alias("term"), "doc_id")
-        .distinct()
+    p = d.select(
+        F.explode(F.array_distinct(_words(F.col("text")))).alias("term"), "doc_id"
     )
     w = Window.partitionBy("term").orderBy("doc_id")
     dl = p.withColumn(
