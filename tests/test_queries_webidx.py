@@ -198,3 +198,43 @@ def test_postings_varint_never_exceeds_raw(spark):
     out = postings_size_est(spark, SF001)
     bad = out.filter(F.col("varint_bytes") > F.col("raw_bytes")).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# plan shape (lock the scale claims the docstrings make)
+# ---------------------------------------------------------------------------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pld_plan_is_broadcast_only(spark):
+    """The PSL lookup must stay two broadcast hash joins with no
+    doc-keyed shuffle: no SortMergeJoin, and the only hash exchanges
+    are the PLD-keyed aggregation (plus the presentation sort)."""
+    plan = _plan(pld_rollup(spark, SF001))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # hashpartitioning exchanges must key on pld, never doc_id
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "pld" in ln and "doc_id" not in ln
+
+
+def test_surt_and_warc_plans_have_no_data_shuffle(spark):
+    """Both are single-scan column pipelines: the only exchange allowed
+    is the presentation ORDER BY's range partitioning."""
+    for df in (surt_keys(spark, SF001), warc_roundtrip(spark, SF001)):
+        plan = _plan(df)
+        assert "Exchange hashpartitioning" not in plan
+        assert plan.count("Exchange") == 1  # rangepartitioning for orderBy
+
+
+def test_postings_plan_deduplicates_before_explode(spark):
+    """array_distinct rides the projection, so the plan must NOT contain
+    a (term, doc_id)-keyed deduplication aggregate before the window."""
+    plan = _plan(postings_size_est(spark, SF001))
+    assert "SortMergeJoin" not in plan
+    # exactly: term-window exchange + t0 rollup exchange + orderBy range
+    assert plan.count("Exchange hashpartitioning") == 2
