@@ -137,6 +137,24 @@ def canonicalize_url(u: str) -> str:
     return f"{scheme}://{auth}{path}{qpart}"
 
 
+def surt_expr(canon_url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key from a
+    canonical URL — the public Wayback/Common-Crawl index key: host
+    minus a leading ``www.``, labels reversed and comma-joined, then
+    ``)`` and the path+query.  ``http://s.d3.co.uk/d/42`` ->
+    ``uk,co,d3,s)/d/42``.  Pure JVM column ops (regexp + split +
+    reverse + concat_ws); shared by the ``surt_keys`` oracle query and
+    :func:`corpus.capture_index` (the CDX rollup over a REAL crawl's
+    extracted rounds)."""
+    u = F.col(canon_url) if isinstance(canon_url, str) else canon_url
+    host = host_expr(u)
+    bare = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/?]*", "")
+    return F.concat(
+        F.concat_ws(",", F.reverse(F.split(bare, r"\."))), F.lit(")"), path
+    )
+
+
 def host_of(canon_url: str) -> str:
     m = re.match(r"^[a-z][a-z0-9+.\-]*://([^/?]*)", canon_url)
     auth = m.group(1) if m else ""

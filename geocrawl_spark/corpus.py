@@ -66,6 +66,54 @@ def corpus_documents(
     return d.select("doc_id", "text", lang.alias("lang"), "source", "n_chars")
 
 
+def capture_index(spark: SparkSession, io: TableIO) -> DataFrame:
+    """CDX-style capture index over a crawl's REAL extracted rounds:
+    one row per URL with ``(surt, url, n_captures, last_round,
+    last_content_length, last_digest)`` where the latest capture wins
+    by round (each url is extracted at most once per round, so round
+    IS the capture timestamp).  The operational twin of the
+    ``cdx_latest_capture`` oracle query — the engine's ``refresh()``
+    loop produces the multi-capture rows (a refreshed URL re-extracts
+    in a later round), and this index is what a reader consults to get
+    the CURRENT text plus the change history depth, exactly a web
+    archive's CDX latest-capture semantics (the reference analog:
+    latest-document-wins lookups over the Mongo store,
+    ``ancillary/mongoqueries.txt:3``).
+
+    Scale shape: the extracted read prunes round partitions like every
+    engine table; one window keyed on url (the same hash-partitioned
+    shuffle the seen filter already keys on), no global sort; the SURT
+    key is pure column math riding the same pass."""
+    from pyspark.sql import Window
+
+    from .canon import surt_expr
+
+    ext = read_all_rounds(spark, io, "extracted")
+    if ext is None:
+        raise ValueError("no committed extracted tables in this crawl")
+    w = Window.partitionBy("url").orderBy(F.desc("round"))
+    wc = Window.partitionBy("url")
+    return (
+        ext.select(
+            "url",
+            "round",
+            "content_length",
+            F.md5(F.encode("text_extracted", "UTF-8")).alias("digest"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_captures", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            surt_expr(F.col("url")).alias("surt"),
+            "url",
+            F.col("n_captures").cast("long").alias("n_captures"),
+            F.col("round").cast("long").alias("last_round"),
+            F.col("content_length").cast("long").alias("last_content_length"),
+            F.col("digest").alias("last_digest"),
+        )
+    )
+
+
 def corpus_from_crawl(
     spark: SparkSession,
     io: TableIO,

@@ -105,22 +105,20 @@ def surt_keys(spark, sf_dir):
     history (the property the reference gets from Mongo's _id index,
     ``ancillary/mongoqueries.txt``).
 
-    Spark side is the GENERIC transform (regexp strip + split + reverse
-    + concat_ws — pure JVM column ops, whole-stage codegen); the oracle
-    runs DuckDB's independent list kernels over the same host, so the
-    two engines agree only if the canonicalization chain itself agrees.
-    Scale: one scan, zero shuffles (the ORDER BY is presentation-only at
-    the driver gate; at archive scale the key feeds a range-partitioned
-    write instead)."""
+    Spark side is the GENERIC transform (:func:`canon.surt_expr` over a
+    full URL — authority extraction, www strip, label reversal, path
+    carry, all JVM column ops); the oracle runs DuckDB's independent
+    list kernels over the same host, so the two engines agree only if
+    the canonicalization chain itself agrees.  Scale: one scan, zero
+    shuffles (the ORDER BY is presentation-only at the driver gate; at
+    archive scale the key feeds a range-partitioned write instead)."""
+    from .canon import surt_expr
+
     d = _t(spark, sf_dir, "documents")
-    host = _host_expr()
-    bare = F.regexp_replace(host, r"^www\.", "")
-    surt = F.concat(
-        F.concat_ws(",", F.reverse(F.split(bare, r"\."))),
-        F.lit(")/d/"),
-        F.col("doc_id").cast("string"),
+    url = F.concat(
+        F.lit("http://"), _host_expr(), F.lit("/d/"), F.col("doc_id").cast("string")
     )
-    return d.select("doc_id", surt.alias("surt")).orderBy("doc_id")
+    return d.select("doc_id", surt_expr(url).alias("surt")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

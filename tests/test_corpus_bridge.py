@@ -90,3 +90,26 @@ def test_bridge_without_pages_dim(spark, crawl_sf):
     d = corpus_documents(spark, eng.io)  # no pages -> lang sentinel
     assert d.filter(d.lang != "und").count() == 0
     assert d.count() == sum(c["fetched"] for c in log)
+
+
+def test_capture_index_single_generation(spark, crawl_sf):
+    """On a crawl with no refresh, the CDX capture index is one row per
+    fetched url, every capture count 1, digest = md5 of the extracted
+    text, surt = reversed host labels + path."""
+    import hashlib
+
+    from geocrawl_spark.corpus import capture_index
+    from geocrawl_spark.frontier import read_all_rounds
+
+    eng, log, _ = crawl_sf
+    idx = {r["url"]: r for r in capture_index(spark, eng.io).collect()}
+    assert len(idx) == sum(c["fetched"] for c in log)
+    assert all(r["n_captures"] == 1 for r in idx.values())
+    ext = {
+        r["url"]: r["text_extracted"]
+        for r in read_all_rounds(spark, eng.io, "extracted").collect()
+    }
+    for u, r in idx.items():
+        assert r["last_digest"] == hashlib.md5(ext[u].encode()).hexdigest()
+        host, _, path = u.partition("//")[2].partition("/")
+        assert r["surt"] == ",".join(reversed(host.split("."))) + ")/" + path

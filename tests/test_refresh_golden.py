@@ -238,6 +238,26 @@ def test_refresh_observes_changed_content(spark, fixtures, tmp_path_factory, mod
     assert got_sha == ref.extracted_sha()
     assert eng.seen_urls() == ref.seen_urls()
 
+    # the CDX capture index over the same crawl: refreshed urls carry
+    # BOTH captures with the v2 digest winning; untouched urls have one
+    import hashlib as _h
+
+    from geocrawl_spark.corpus import capture_index
+
+    idx = {r["url"]: r for r in capture_index(spark, eng.io).collect()}
+    assert set(idx) == set(fetched)
+    for u in fetched:
+        r = idx[u]
+        if u in sel:
+            assert r["n_captures"] == 2 and r["last_round"] > r_commit
+            assert r["last_digest"] == _h.md5(v2_text[u].encode()).hexdigest()
+        else:
+            assert r["n_captures"] == 1
+            assert r["last_digest"] == _h.md5(v1_text.get(u, ref.extracted[u]).encode()).hexdigest()
+        # SURT key: reversed host labels close with ')' + the url's path
+        host, _, path = u.partition("//")[2].partition("/")
+        assert r["surt"] == ",".join(reversed(host.split("."))) + ")/" + path
+
 
 def test_refresh_resume_new_engine(spark, fixtures, tmp_path_factory):
     """H4 x recrawl: after a refresh commit, a BRAND-NEW engine instance
