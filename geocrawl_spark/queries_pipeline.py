@@ -3488,3 +3488,258 @@ def ivf_label_purity(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution-drift monitoring: per-source KS statistic vs the corpus
+# ---------------------------------------------------------------------------
+
+#: fixed length grid for the drift CDFs: n_chars clamped to [0, _KS_CLAMP]
+#: and bucketed by _KS_STEP chars -> _KS_BUCKETS cumulative grid points.
+#: A FIXED grid (not data-dependent quantiles) is what makes the operator
+#: one groupBy at any corpus size AND bit-identical across engines: the
+#: CDF comparison reduces to integer counts per (source, bucket).
+_KS_STEP = 50
+_KS_BUCKETS = 12  # covers n_chars 0..599; larger docs clamp into the top bin
+_KS_CLAMP = _KS_STEP * _KS_BUCKETS - 1
+
+_KS_SQL = f"""
+    with b as (
+      select source, least(n_chars, {_KS_CLAMP}) // {_KS_STEP} as b from documents
+    ),
+    grid as (
+      select s.source, r.g
+      from (select distinct source from b) s, unnest(range({_KS_BUCKETS})) as r(g)
+    ),
+    cnts as (select source, b, count(*)::bigint as n from b group by 1, 2),
+    filled as (
+      select g.source, g.g as b, coalesce(c.n, 0)::bigint as n
+      from grid g left join cnts c on c.source = g.source and c.b = g.g
+    ),
+    cum as (
+      select source, b,
+             sum(n) over (partition by source order by b)::bigint as cs,
+             sum(n) over (partition by source)::bigint as ns
+      from filled
+    ),
+    gcum as (
+      select b, sum(gn) over (order by b)::bigint as cg,
+             (select count(*) from documents)::bigint as nn
+      from (select b, sum(n)::bigint as gn from filled group by 1)
+    ),
+    j as (
+      select c.source, c.b, abs(c.cs * g.nn - g.cg * c.ns)::bigint as diff,
+             c.ns, g.nn
+      from cum c join gcum g using (b)
+    ),
+    r as (select *, row_number() over (partition by source
+                                       order by diff desc, b) as rk from j)
+    select source, ns as n_docs,
+           ((diff * 1000000) // (ns * nn))::bigint as ks_millionths,
+           (b * {_KS_STEP} + {_KS_STEP - 1})::bigint as grid_hi
+    from r where rk = 1 order by source
+"""
+
+
+@_q("source_drift_ks", _KS_SQL)
+def source_drift_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic per source vs the
+    whole corpus over the document-length distribution — the
+    distribution-monitoring primitive a training-data pipeline runs on
+    every crawl snapshot to catch a source whose content shifted
+    (template change, spam flood, truncation bug) before it skews the
+    mixture.  KS = max over the grid of |CDF_source - CDF_corpus|.
+
+    Portability: the statistic is the integer cross-multiplication form
+    |cs*N - cg*ns| (both engines compare exact products; the per-source
+    denominator ns*N is constant across grid points, so the argmax is a
+    pure integer max) and only the final reported ks is scaled to
+    millionths by one floor division — no float exists anywhere.
+
+    Scale shape: ONE map-side-combined groupBy(source, bucket) over the
+    corpus (grid cardinality {_KS_BUCKETS}), then all remaining work is
+    over |sources| x {_KS_BUCKETS} rows — window cumsums and a broadcast
+    join on the tiny global-CDF table.  At 10^10 docs the cross-products
+    outgrow int64 (cs*N ~ 10^20): production promotes the diff column to
+    decimal(38,0) — same plan shape, still exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.expr(f"least(n_chars, {_KS_CLAMP}) div {_KS_STEP}").alias("b"),
+    )
+    cnts = b.groupBy("source", "b").agg(F.count("*").cast("long").alias("n"))
+    grid = (
+        b.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_KS_BUCKETS - 1))
+            ).alias("b0"),
+        )
+        .select("source", F.col("b0").cast("long").alias("b"))
+    )
+    filled = (
+        grid.join(cnts, ["source", "b"], "left")
+        .select("source", "b", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+    wcum = Window.partitionBy("source").orderBy("b")
+    wall = Window.partitionBy("source")
+    cum = filled.select(
+        "source",
+        "b",
+        F.sum("n").over(wcum).cast("long").alias("cs"),
+        F.sum("n").over(wall).cast("long").alias("ns"),
+    )
+    nn = d.agg(F.count("*").cast("long").alias("nn"))
+    gcum = (
+        filled.groupBy("b")
+        .agg(F.sum("n").cast("long").alias("gn"))
+        .select(
+            "b",
+            F.sum("gn").over(Window.orderBy("b")).cast("long").alias("cg"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    j = cum.join(F.broadcast(gcum), "b").select(
+        "source",
+        "b",
+        F.abs(F.col("cs") * F.col("nn") - F.col("cg") * F.col("ns"))
+        .cast("long")
+        .alias("diff"),
+        "ns",
+        "nn",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("diff"), F.asc("b"))
+    )
+    return (
+        j.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            F.expr("(diff * 1000000) div (ns * nn)").cast("long").alias(
+                "ks_millionths"
+            ),
+            (F.col("b") * _KS_STEP + (_KS_STEP - 1))
+            .cast("long")
+            .alias("grid_hi"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain-signature terms: per-source lift over the corpus rate
+# ---------------------------------------------------------------------------
+
+#: global-count gate + vocabulary cap for the broadcast rate table —
+#: same contract as _TFIDF_V: the per-token corpus rates are only
+#: broadcast for the top-_LIFT_V tokens (by count desc, token) that
+#: clear _LIFT_MIN_R occurrences; everything rarer is not a stable
+#: "domain signature" at any corpus size and is excluded from ranking.
+_LIFT_MIN_R = 10
+_LIFT_V = 65536
+_LIFT_TOPK = 5
+
+_LIFT_SQL = f"""
+    with toks as (
+      select source, unnest(string_split(text, ' ')) as tok from documents
+    ),
+    o as (select source, tok, count(*)::bigint as n_in_source
+          from toks group by 1, 2),
+    rt as (select tok, sum(n_in_source)::bigint as r from o group by 1),
+    vocab as (select tok, r from rt where r >= {_LIFT_MIN_R}
+              order by r desc, tok limit {_LIFT_V}),
+    ct as (select source, sum(n_in_source)::bigint as c from o group by 1),
+    nt as (select sum(n_in_source)::bigint as n from o),
+    scored as (
+      select o.source, o.tok, o.n_in_source,
+             ((o.n_in_source * 1000000) // ct.c)::bigint as rate_s_ppm,
+             ((v.r * 1000000) // nt.n)::bigint as rate_g_ppm
+      from o join vocab v using (tok) join ct using (source), nt
+    ),
+    lift as (
+      select source, tok, n_in_source,
+             ((rate_s_ppm * 1000) // rate_g_ppm)::bigint as lift_millis
+      from scored where rate_g_ppm >= 1
+    ),
+    r as (select *, row_number() over (partition by source
+                                       order by lift_millis desc, tok) as rk
+          from lift)
+    select source, tok as term, n_in_source, lift_millis, rk::bigint as rk
+    from r where rk <= {_LIFT_TOPK} order by source, rk
+"""
+
+
+@_q("term_source_lift", _LIFT_SQL)
+def term_source_lift(spark, sf_dir):
+    """Per-source top-{_LIFT_TOPK} DOMAIN-SIGNATURE terms by integer
+    lift: how over-represented a token is in one source relative to the
+    whole corpus (lift = source rate / corpus rate, reported in
+    millis so 1000 = corpus-typical).  The domain-analysis /
+    mixture-diagnostics primitive: before weighting sources into a
+    training mix, a pipeline inspects what each source is actually
+    ABOUT, and a sudden signature change is the content-drift twin of
+    :func:`source_drift_ks`'s length drift.  Complements (does not
+    duplicate) tfidf_topterms (per-DOC keywords) and bigram_pmi_top
+    (token-PAIR association): this is token<->SOURCE association.
+
+    Portability: rates are integer parts-per-million (floor division of
+    exact counts), lift is one more integer floor division, ranking ties
+    break on the term string — no float enters the plan.
+
+    Scale shape: explode -> map-side-combined groupBy(source, tok)
+    (bounded by per-source vocabulary, not token volume); the corpus
+    rate table is capped at {_LIFT_V} rows and BROADCAST, the per-source
+    totals are |sources| rows and broadcast; the top-k is a window over
+    per-source vocab.  Two passes over the thinned (source, tok) table,
+    zero shuffles on the zipf-skewed token key."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    o = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("n_in_source")
+    )
+    rt = o.groupBy("tok").agg(F.sum("n_in_source").cast("long").alias("r"))
+    vocab = (
+        rt.filter(F.col("r") >= _LIFT_MIN_R)
+        .orderBy(F.desc("r"), F.asc("tok"))
+        .limit(_LIFT_V)
+    )
+    ct = o.groupBy("source").agg(F.sum("n_in_source").cast("long").alias("c"))
+    nt = o.agg(F.sum("n_in_source").cast("long").alias("n"))
+    scored = (
+        o.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "tok",
+            "n_in_source",
+            F.expr("(n_in_source * 1000000) div c").cast("long").alias(
+                "rate_s_ppm"
+            ),
+            F.expr("(r * 1000000) div n").cast("long").alias("rate_g_ppm"),
+        )
+    )
+    lift = scored.filter(F.col("rate_g_ppm") >= 1).select(
+        "source",
+        "tok",
+        "n_in_source",
+        F.expr("(rate_s_ppm * 1000) div rate_g_ppm").cast("long").alias(
+            "lift_millis"
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("lift_millis"), F.asc("tok")
+        )
+    )
+    return (
+        lift.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= _LIFT_TOPK)
+        .select("source", F.col("tok").alias("term"), "n_in_source",
+                "lift_millis", "rk")
+        .orderBy("source", "rk")
+    )

@@ -1128,3 +1128,99 @@ def test_tfidf_topterms_tie_breaks_on_term(spark, tmp_path):
     out = [r for r in tfidf_topterms(spark, sf).collect() if r["doc_id"] == 0]
     # all three terms tie (tf=1, df=1): alphabetical order decides
     assert [r["term"] for r in out] == ["aaa", "bbb", "ccc"]
+
+
+# ---------------------------------------------------------------------------
+# source_drift_ks / term_source_lift (drift monitoring + domain signatures)
+# ---------------------------------------------------------------------------
+
+def test_drift_ks_zero_when_sources_identical(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import source_drift_ks
+
+    # every source gets the same two lengths -> per-source CDF == corpus
+    # CDF at every grid point -> KS is exactly 0 for all 20 sources
+    rows = [("x" * 30, "en") if i < 20 else ("y" * 120, "en") for i in range(40)]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = source_drift_ks(spark, sf).collect()
+    assert len(out) == 20
+    assert all(r["ks_millionths"] == 0 for r in out)
+    assert all(r["n_docs"] == 2 for r in out)
+
+
+def test_drift_ks_flags_shifted_source(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import source_drift_ks
+
+    # src0 (indices 0 and 20) gets 300-char docs; the other 19 sources get
+    # 10-char docs.  At the first grid point (chars <= 49): CDF_src0 = 0/2,
+    # CDF_corpus = 38/40 -> |0*40 - 38*2| = 76, ks = 76e6 // (2*40) = 950000
+    rows = [
+        ("z" * 300, "en") if i % 20 == 0 else ("s" * 10, "en")
+        for i in range(40)
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = {r["source"]: r for r in source_drift_ks(spark, sf).collect()}
+    assert out["src0"]["ks_millionths"] == 950_000
+    assert out["src0"]["grid_hi"] == 49
+    # the un-shifted sources still drift slightly (src0 pulls the corpus
+    # CDF down by 2/40): |2*40 - 38*2| = 4 -> 4e6 // 80 = 50000
+    assert out["src1"]["ks_millionths"] == 50_000
+
+
+def test_drift_ks_bounds_and_grid_at_sf001(spark):
+    from geocrawl_spark.queries_pipeline import (
+        _KS_CLAMP,
+        _KS_STEP,
+        source_drift_ks,
+    )
+
+    out = source_drift_ks(spark, SF001).collect()
+    assert len(out) == 20
+    for r in out:
+        assert 0 <= r["ks_millionths"] <= 1_000_000
+        assert r["grid_hi"] % _KS_STEP == _KS_STEP - 1
+        assert 0 < r["grid_hi"] <= _KS_CLAMP
+
+
+def test_term_lift_finds_exclusive_token(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import _LIFT_TOPK, term_source_lift
+
+    # "zebra" appears 10x, all in src0 (clears the _LIFT_MIN_R=10 gate and
+    # is maximally over-represented there); filler is corpus-uniform
+    rows = [
+        ("zebra " * 5 + "the the the", "en") if i % 20 == 0
+        else ("the the the", "en")
+        for i in range(40)
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = term_source_lift(spark, sf).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    top0 = sorted(by_src["src0"], key=lambda r: r["rk"])[0]
+    assert top0["term"] == "zebra" and top0["n_in_source"] == 10
+    assert top0["lift_millis"] > 2000  # strongly over-represented
+    for rows_ in by_src.values():
+        assert len(rows_) <= _LIFT_TOPK
+        assert all(r["lift_millis"] > 0 for r in rows_)
+        assert sorted(r["rk"] for r in rows_) == list(
+            range(1, len(rows_) + 1)
+        )
+    # "zebra" never ranks for sources that don't contain it
+    for src, rows_ in by_src.items():
+        if src != "src0":
+            assert all(r["term"] != "zebra" for r in rows_)
+
+
+def test_term_lift_rare_tokens_gated(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import term_source_lift
+
+    # "unicorn" appears only 3x (< _LIFT_MIN_R): excluded from ranking
+    # even though its within-source lift would be huge
+    rows = [
+        ("unicorn unicorn unicorn " + "the " * 20, "en") if i == 0
+        else ("the " * 20, "en")
+        for i in range(40)
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = term_source_lift(spark, sf).collect()
+    assert all(r["term"] != "unicorn" for r in out)
