@@ -1224,3 +1224,37 @@ def test_term_lift_rare_tokens_gated(spark, tmp_path):
     sf = _docs_dir(spark, tmp_path, rows)
     out = term_source_lift(spark, sf).collect()
     assert all(r["term"] != "unicorn" for r in out)
+
+
+def test_drift_and_lift_plan_shapes(spark):
+    """source_drift_ks: the grid fill, global-CDF, and total-count
+    tables are tiny by construction, so every join must be broadcast —
+    no SortMergeJoin.  term_source_lift: the vocab/total dims are
+    broadcast (2 BroadcastHashJoin + the scalar-total nested-loop); the
+    only tok-keyed exchange is over the already-thinned (source, tok)
+    aggregate (<= |sources| rows per token — skew-immune), never over
+    raw token volume."""
+    from geocrawl_spark.queries_pipeline import source_drift_ks, term_source_lift
+
+    plan = (
+        source_drift_ks(spark, SF001)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+
+    plan = (
+        term_source_lift(spark, SF001)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # the exploded-token aggregation always keys on (source, tok); the
+    # sole tok-only exchange is the global-rate rollup over that thinned
+    # aggregate (<= |sources| x V rows), never the raw explode
+    ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(tok" in ln
+    ]
+    assert len(ex) == 1
+    assert plan.count("Exchange hashpartitioning") <= 7
