@@ -3743,3 +3743,73 @@ def term_source_lift(spark, sf_dir):
                 "lift_millis", "rk")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-policy lexicon filter (the C4-style badwords gate)
+# ---------------------------------------------------------------------------
+
+#: stand-in policy lexicon drawn from the synthetic vocabulary so the
+#: gate is exercised end-to-end on the driver's tables.  Production
+#: swaps in the real lexicon as a broadcast table (or, at a few
+#: thousand entries, this same inlined IN-list — Catalyst compiles it
+#: to a hash set probe); the plan shape does not change.
+_BLOCKLIST = ("slow", "dup", "big")
+#: keep threshold in ppm of tokens: >= 10% lexicon tokens drops the doc
+#: (splits the synthetic corpus ~80/20 so both classes stay nonvacuous)
+_BLOCK_MAX_PPM = 100_000
+
+_BLOCK_IN = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+
+_BLOCK_SQL = f"""
+    select doc_id,
+           len(string_split(text, ' '))::bigint as n_tokens,
+           len(list_filter(string_split(text, ' '),
+                           x -> x in ({_BLOCK_IN})))::bigint as n_flagged,
+           ((len(list_filter(string_split(text, ' '),
+                             x -> x in ({_BLOCK_IN}))) * 1000000)
+            // len(string_split(text, ' ')))::bigint as ratio_ppm,
+           (case when (len(list_filter(string_split(text, ' '),
+                                       x -> x in ({_BLOCK_IN}))) * 1000000)
+                      // len(string_split(text, ' ')) < {_BLOCK_MAX_PPM}
+                 then 1 else 0 end)::bigint as keep
+    from documents order by doc_id
+"""
+
+
+@_q("blocklist_filter_stats", _BLOCK_SQL)
+def blocklist_filter_stats(spark, sf_dir):
+    """Content-policy lexicon gate (the C4 "badwords" stage): per doc,
+    total tokens, tokens matching the policy lexicon, the integer ppm
+    ratio, and the keep decision (ratio < {_BLOCK_MAX_PPM} ppm).  Sits
+    between the structural quality battery (gopher_quality_flags) and
+    dedup in a production pipeline; listed separately because its
+    failure mode is different — a lexicon gate is per-token content
+    policy, not per-doc statistics.
+
+    Scale shape: ZERO shuffle — one corpus scan of (doc_id, text),
+    per-row higher-order array functions entirely inside whole-stage
+    codegen (split -> filter-with-IN -> size), the embarrassingly
+    parallel ideal.  The lexicon compiles into the plan as a hash-set
+    probe; a larger real-world lexicon broadcasts identically.
+    Portability: counts and floor-divided ppm only — no float."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    flagged = F.size(
+        F.filter(ws, lambda x: x.isin(*_BLOCKLIST))
+    ).cast("long")
+    n = F.size(ws).cast("long")
+    ratio = F.expr(
+        f"(size(filter(split(text, ' '), x -> x in ({_BLOCK_IN}))) * 1000000)"
+        f" div size(split(text, ' '))"
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        flagged.alias("n_flagged"),
+        ratio.alias("ratio_ppm"),
+        F.when(ratio < _BLOCK_MAX_PPM, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    ).orderBy("doc_id")

@@ -1258,3 +1258,34 @@ def test_drift_and_lift_plan_shapes(spark):
     ]
     assert len(ex) == 1
     assert plan.count("Exchange hashpartitioning") <= 7
+
+
+def test_blocklist_hand_counts(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import blocklist_filter_stats
+
+    # doc 0: 2/10 flagged (200000 ppm) -> drop; doc 1: 0/4 -> keep;
+    # doc 2: exactly at 10% (1/10) -> 100000 ppm == threshold -> drop
+    rows = [
+        ("slow dup a b c d e f g h", "en"),
+        ("clean words only here", "en"),
+        ("big a b c d e f g h i", "en"),
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in blocklist_filter_stats(spark, sf).collect()}
+    assert out[0]["n_flagged"] == 2 and out[0]["ratio_ppm"] == 200_000
+    assert out[0]["keep"] == 0
+    assert out[1]["n_flagged"] == 0 and out[1]["keep"] == 1
+    assert out[2]["ratio_ppm"] == 100_000 and out[2]["keep"] == 0
+
+
+def test_blocklist_both_classes_and_plan_at_sf001(spark):
+    from geocrawl_spark.queries_pipeline import blocklist_filter_stats
+
+    df = blocklist_filter_stats(spark, SF001)
+    keeps = {r["keep"] for r in df.collect()}
+    assert keeps == {0, 1}  # the threshold splits the synthetic corpus
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # zero-shuffle contract: single scan, per-row codegen, the only
+    # exchange is the presentation ORDER BY's range partitioning
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
