@@ -3813,3 +3813,97 @@ def blocklist_filter_stats(spark, sf_dir):
         .cast("long")
         .alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# source-similarity map: pairwise bigram-vocabulary Jaccard
+# ---------------------------------------------------------------------------
+
+#: bigram vocabulary (unigrams are near-degenerate on tiny vocabularies;
+#: 2-grams discriminate while staying one shared-helper call)
+_VJ_N = 2
+
+_VJ_SQL = f"""
+    with st as (
+      select distinct source, unnest({_grams_sql(_VJ_N)}) as gram
+      from documents
+    ),
+    vs as (select source, count(*)::bigint as v from st group by 1),
+    inter as (
+      select a.source as source_a, b.source as source_b,
+             count(*)::bigint as n_shared
+      from st a join st b using (gram)
+      where a.source < b.source
+      group by 1, 2
+    )
+    select i.source_a, i.source_b, i.n_shared,
+           va.v as vocab_a, vb.v as vocab_b,
+           ((i.n_shared * 1000000) // (va.v + vb.v - i.n_shared))::bigint
+             as jaccard_ppm
+    from inter i
+      join vs va on va.source = i.source_a
+      join vs vb on vb.source = i.source_b
+    order by source_a, source_b
+"""
+
+
+@_q("vocab_jaccard_matrix", _VJ_SQL)
+def vocab_jaccard_matrix(spark, sf_dir):
+    """Source-similarity map: the (source x source) upper-triangle of
+    bigram-VOCABULARY Jaccard — the mixture-design companion to
+    :func:`source_overlap_matrix` (which counts verified near-dup DOC
+    pairs).  Two sources can share almost no duplicated documents yet
+    speak the same language about the same things; vocabulary Jaccard
+    is that signal, and a mixture designer treats high-vocab-overlap
+    sources as one diversity bucket when weighting.
+
+    Portability: set sizes and one floor-divided ppm — exact integers
+    end to end (|A u B| = |A| + |B| - |A n B| avoids any union
+    materialization).
+
+    Scale shape: the distinct (source, gram) projection is the only
+    corpus-volume pass (map-side combined); the pair generation
+    self-joins THAT thinned table on gram, so per-gram fan-out is
+    bounded by the number of sources carrying the gram (<= |S|, never
+    token volume), and the output is the |S| choose 2 triangle.  At
+    thousands of sources a pipeline would swap the exact self-join for
+    the corpus's existing MinHash machinery (dedup_minhash_lsh) over
+    per-source gram sets — same report, sketched; at the driver's
+    source counts the exact form is the right plan.  Zero-overlap pairs
+    are absent (the inner join keeps the triangle sparse) — identical
+    semantics in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("source", F.split("text", " ").alias("ws"))
+    st = (
+        t.select(
+            "source",
+            F.explode(_grams_expr(F.col("ws"), _VJ_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    vs = st.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    a = st.select(F.col("source").alias("source_a"), "gram")
+    b = st.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    va = vs.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))
+    vb = vs.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            F.expr("(n_shared * 1000000) div (vocab_a + vocab_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

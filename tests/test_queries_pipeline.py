@@ -1289,3 +1289,31 @@ def test_blocklist_both_classes_and_plan_at_sf001(spark):
     # exchange is the presentation ORDER BY's range partitioning
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_vocab_jaccard_hand_case(spark, tmp_path):
+    from geocrawl_spark.queries_pipeline import vocab_jaccard_matrix
+
+    # src0: {"a b","b c"}; src1: {"a b","b d"}; src2: {"x y","y z"}
+    # (src0,src1): 1 shared / 3 union -> 333333 ppm; src2 overlaps
+    # nothing -> its pairs are absent (sparse triangle)
+    rows = [("a b c", "en"), ("a b d", "en"), ("x y z", "en")]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = vocab_jaccard_matrix(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("src0", "src1")
+    assert r["n_shared"] == 1 and r["vocab_a"] == 2 and r["vocab_b"] == 2
+    assert r["jaccard_ppm"] == 333_333
+
+
+def test_vocab_jaccard_invariants_at_sf001(spark):
+    from geocrawl_spark.queries_pipeline import vocab_jaccard_matrix
+
+    out = vocab_jaccard_matrix(spark, SF001).collect()
+    # 20 sources, every pair overlaps on this corpus: full triangle
+    assert len(out) == 190
+    for r in out:
+        assert r["source_a"] < r["source_b"]  # upper triangle only
+        assert 0 < r["jaccard_ppm"] <= 1_000_000
+        assert r["n_shared"] <= min(r["vocab_a"], r["vocab_b"])
