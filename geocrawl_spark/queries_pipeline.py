@@ -3907,3 +3907,81 @@ def vocab_jaccard_matrix(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# gate-agreement audit: how the independent quality gates overlap
+# ---------------------------------------------------------------------------
+
+_AGREE_SQL = """
+    with rep as (select doc_id, keep as rep_keep from ({rep})),
+    qf as (select doc_id, keep as flags_keep from ({qf})),
+    bl as (select doc_id, keep as block_keep from ({bl})),
+    clf as (select doc_id,
+                   (case when label = 'keep' then 1 else 0 end)::bigint
+                     as clf_keep
+            from ({clf}))
+    select rep_keep, flags_keep, block_keep, clf_keep,
+           count(*)::bigint as n_docs
+    from rep join qf using (doc_id) join bl using (doc_id)
+             join clf using (doc_id)
+    group by 1, 2, 3, 4
+    order by 1, 2, 3, 4
+"""
+
+
+def _agree_sql() -> str:
+    return _AGREE_SQL.format(
+        rep=ORACLE_SQL["gopher_repetition"],
+        qf=ORACLE_SQL["gopher_quality_flags"],
+        bl=ORACLE_SQL["blocklist_filter_stats"],
+        clf=ORACLE_SQL["quality_classifier_score"],
+    )
+
+
+@_q("quality_gate_agreement", _agree_sql())
+def quality_gate_agreement(spark, sf_dir):
+    """Gate-vs-gate audit: the 2^4 agreement matrix of the pipeline's
+    four INDEPENDENT quality gates — repetition (gopher_repetition),
+    structural flags (gopher_quality_flags), content-policy lexicon
+    (blocklist_filter_stats), and the linear classifier
+    (quality_classifier_score) — as per-cell doc counts.  This is the
+    report a pipeline owner reads before composing gates into the final
+    keep rule: a gate whose drops are a subset of another's adds
+    nothing; a gate that disagrees with all others on a large cell is
+    either the only thing catching a real failure mode or miscalibrated
+    (tightening thresholds against this matrix is the calibration
+    loop).  The all-ones cell is the AND-rule survivor count.
+
+    Reuses the four REGISTERED operators verbatim (Spark and oracle
+    sides both), so each marginal of this matrix is independently
+    pinned by those queries' own oracle checks.  Scale shape: the four
+    gate plans each scan the corpus once; the audit joins their
+    doc-keyed outputs (AQE co-partitions the equi-joins) and the matrix
+    itself is a 16-row groupBy.  A production run materializes the gate
+    columns side by side and feeds this from the combined table — same
+    16-row result."""
+    rep = gopher_repetition(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("rep_keep")
+    )
+    qf = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("flags_keep")
+    )
+    bl = blocklist_filter_stats(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("block_keep")
+    )
+    clf = quality_classifier_score(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("label") == "keep", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clf_keep"),
+    )
+    return (
+        rep.join(qf, "doc_id")
+        .join(bl, "doc_id")
+        .join(clf, "doc_id")
+        .groupBy("rep_keep", "flags_keep", "block_keep", "clf_keep")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("rep_keep", "flags_keep", "block_keep", "clf_keep")
+    )

@@ -1317,3 +1317,26 @@ def test_vocab_jaccard_invariants_at_sf001(spark):
         assert r["source_a"] < r["source_b"]  # upper triangle only
         assert 0 < r["jaccard_ppm"] <= 1_000_000
         assert r["n_shared"] <= min(r["vocab_a"], r["vocab_b"])
+
+
+def test_gate_agreement_partitions_the_corpus(spark):
+    from geocrawl_spark.queries_pipeline import quality_gate_agreement
+
+    out = quality_gate_agreement(spark, SF001).collect()
+    # cells partition the corpus exactly; keys are binary; the matrix
+    # is sorted by its four keys (the output contract)
+    assert sum(r["n_docs"] for r in out) == 500
+    keys = [
+        (r["rep_keep"], r["flags_keep"], r["block_keep"], r["clf_keep"])
+        for r in out
+    ]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    assert all(set(k) <= {0, 1} for k in keys)
+    # marginals must match the source gates exactly (the reuse contract)
+    from geocrawl_spark.queries_pipeline import gopher_repetition
+
+    rep_keep_docs = sum(
+        r["n_docs"] for r in out if r["rep_keep"] == 1
+    )
+    direct = gopher_repetition(spark, SF001).filter("keep = 1").count()
+    assert rep_keep_docs == direct
