@@ -91,7 +91,14 @@ class TableIO:
         return os.path.join(self.base, "rounds", f"r{round_no}", name)
 
     def write_table(self, df: DataFrame, name: str, round_no: int) -> None:
+        import time
+
+        t0 = time.time()
         df.write.mode("overwrite").parquet(self._table_path(name, round_no))
+        if os.environ.get("GEOCRAWL_PROFILE"):
+            print(
+                f"[write {name}@r{round_no}] {time.time() - t0:.2f}s", flush=True
+            )
         self.mark_written(name, round_no)
 
     def mark_written(self, name: str, round_no: int) -> None:
@@ -125,9 +132,17 @@ class TableIO:
         )
         # _part mirrors part_col as the directory key so the data column
         # survives in the files (partitionBy drops its source column)
+        import time
+
+        t0 = time.time()
         df.withColumn("_part", F.col(part_col)).write.mode("overwrite").partitionBy(
             "_part"
         ).parquet(self._table_path(name, round_no))
+        if os.environ.get("GEOCRAWL_PROFILE"):
+            print(
+                f"[write-delta {name}@r{round_no}] {time.time() - t0:.2f}s",
+                flush=True,
+            )
         self.mark_written(name, round_no)
         new_map = dict(prev)
         for t in touched:

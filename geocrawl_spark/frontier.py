@@ -112,14 +112,33 @@ def global_sequence(
     """
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    df.repartitionByRange(n_parts, *order_cols).write.mode("overwrite").parquet(
-        scratch_path
-    )
+    # repartitionByRange computes its boundaries from a SAMPLING pass over
+    # the input, then shuffles it — without a persist the input plan (the
+    # full politeness pop over the pending set) executes twice (guide
+    # §5: cache exactly the reuse the plan cannot see).  The cache is
+    # dropped as soon as the range files are written: every downstream
+    # read uses the immutable parquet, so nothing ever recomputes df.
+    import time as _t
+
+    _t0 = _t.time()
+    df = df.persist()
+    try:
+        df.repartitionByRange(n_parts, *order_cols).write.mode(
+            "overwrite"
+        ).parquet(scratch_path)
+    finally:
+        df.unpersist()
+    _t1 = _t.time()
     b = spark.read.parquet(scratch_path).withColumn("_file", F.input_file_name())
     counts = {
         r["_file"]: r["n"]
         for r in b.groupBy("_file").agg(F.count("*").alias("n")).collect()
     }
+    if os.environ.get("GEOCRAWL_PROFILE"):
+        print(
+            f"[gseq] range_write={_t1 - _t0:.2f}s counts={_t.time() - _t1:.2f}s",
+            flush=True,
+        )
     if not counts:
         return b.drop("_file").withColumn(seq_col, F.lit(None).cast("long"))
     offsets, acc = {}, 0
@@ -397,6 +416,40 @@ class CrawlEngine:
         persisted — caller unpersists it and every df in ``parents`` after
         ``persist_state()`` ran.
         """
+        def _robots_cols(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("host", host_expr(F.col("url")))
+                .join(
+                    F.broadcast(self.robots.select("host", "_rules")),
+                    "host",
+                    "left",
+                )
+                .withColumn(
+                    "denied",
+                    pol.robots_denied_rules_expr(F.col("url"), F.col("_rules")),
+                )
+                .drop("_rules")
+            )
+
+        if self.mode == "abucket":
+            # single-materialization admission (guide §5): the seen flag,
+            # the robots decoration, the stats, the fresh rows and the
+            # O(fresh) append all read ONE persisted pass over the
+            # deduped candidates instead of three chained persists
+            flagged_all, stats_df, append_fn = S.filter_and_update_abucket_flagged(
+                cand, self.spark, self._seen_table(), self.n_buckets,
+                upto_round=round_no - 1, round_no=round_no,
+                decorate=_robots_cols,
+            )
+            flagged = flagged_all.filter(F.col("_seen").isNull()).select(
+                "url", "host", "depth", "kind", "denied"
+            )
+            # stats_fn is returned LAZY so the caller can run it
+            # CONCURRENTLY with the denied-count collect; its first
+            # execution materializes the persisted admission pass
+            return flagged, append_fn, [flagged_all], (
+                lambda: self._stats_dict(stats_df)
+            )
         if self.mode in ("exact", "bloom", "cuckoo"):
             fresh, new_state, seen_out = S.filter_and_update(
                 cand, state, self.mode, self.n_shards, self.m_bits, self.k
@@ -405,29 +458,16 @@ class CrawlEngine:
         elif self.mode == "anti":
             fresh, new_state, stats_df, parent = S.filter_and_update_anti(cand, state)
             parents, stats_fn = [parent], lambda: self._stats_dict(stats_df)
-        elif self.mode == "abucket":
-            fresh, stats_df, parents, append_fn = S.filter_and_update_abucket(
-                cand, self.spark, self._seen_table(), self.n_buckets,
-                upto_round=round_no - 1, round_no=round_no,
-            )
-            new_state, stats_fn = None, lambda: self._stats_dict(stats_df)
         else:  # bitword
             fresh, new_state, stats_df, parent = S.filter_and_update_bitmap(
                 cand, state, self.m_bits, self.k
             )
             parents, stats_fn = [parent], lambda: self._stats_dict(stats_df)
-        if self.mode == "abucket":
-            persist_state = append_fn
-        else:
-            persist_state = lambda: self.io.write_table(  # noqa: E731
-                new_state, "seen_shards", round_no
-            )
+        persist_state = lambda: self.io.write_table(  # noqa: E731
+            new_state, "seen_shards", round_no
+        )
         flagged = (
-            fresh.withColumn("host", host_expr(F.col("url")))
-            .join(F.broadcast(self.robots.select("host", "_rules")), "host", "left")
-            .withColumn(
-                "denied", pol.robots_denied_rules_expr(F.col("url"), F.col("_rules"))
-            )
+            _robots_cols(fresh)
             .select("url", "host", "depth", "kind", "denied")
             .persist()
         )
@@ -668,11 +708,14 @@ class CrawlEngine:
         analysis and job-scheduling latency — the engine's dominant fixed
         per-round cost — overlaps instead of summing.  The commit point
         stays strictly after every write has returned."""
+        marks: list = []
+        self._mark(marks, "start")
         self.io.set_meta(
             "seen_config",
             [self.mode, self.n_shards, self.m_bits, self.k, self.n_buckets],
         )
         state = self._init_seen_state()
+        self._mark(marks, "seen_init")
         seeds = self.seeds.select(
             canonicalize_url_expr("url").alias("url"),
             F.lit(0).cast("long").alias("depth"),
@@ -709,6 +752,7 @@ class CrawlEngine:
             counters["deduped"] = pstats["deduped"]
             counters["robots_denied"] = f_denied.result()
             counters["discovered"] = pstats["fresh"] - counters["robots_denied"]
+            self._mark(marks, "admit_stats")
             writes = [
                 pool.submit(
                     self.io.write_table_delta,
@@ -776,10 +820,18 @@ class CrawlEngine:
                 )
             for w in writes:
                 w.result()  # propagate failures BEFORE the commit point
+            self._mark(marks, "writes_joined")
             # AFTER the flagged-scanning writes: the abucket append's
             # insertInto invalidates cached plans referencing the seen
             # table (see run_round) — never run it concurrently with them
             persist_state()
+            self._mark(marks, "seen_persist")
+        if os.environ.get("GEOCRAWL_PROFILE"):
+            spans = [
+                f"{label}={t1 - t0:.2f}s"
+                for (label, t1), (_, t0) in zip(marks[1:], marks[:-1])
+            ]
+            print("[init_state] " + " ".join(spans), flush=True)
         self.io.commit_round(
             0,
             ["frontier", *self._state_tables(), "admitted", "hostcarry",
@@ -865,11 +917,24 @@ class CrawlEngine:
             self._trap_dim(prev_trap) if self.trap_guard else None,
             self._mirror_dim(prev_dup) if self.mirror_guard else None,
         )
+        self._mark(marks, "budget_built")
+        # Project the pop input to the columns the batch actually carries
+        # (guide §2.3: shuffle fewer bytes): every pending row has
+        # status='pending' and NULL fetch_round/fetch_seq by definition,
+        # and batch_done below re-derives all three — so they need not
+        # ride through the politeness windows' shuffles.
         batch = global_sequence(
-            pol.pop_batch(pending, eff_budget, self.salt),
+            pol.pop_batch(
+                pending.select(
+                    "url", "host", "depth", "priority", "discovered_round"
+                ),
+                eff_budget,
+                self.salt,
+            ),
             ["priority", "url"],
             self.io._table_path("batch", round_no),
         )
+        self._mark(marks, "batch_ranked")
         # global_sequence wrote its range files outside TableIO — record
         # the write so commit_round can truthfully declare the table
         self.io.mark_written("batch", round_no)
@@ -1344,10 +1409,20 @@ class CrawlEngine:
                 F.lit(round_no).cast("long").alias("fetch_round"),
                 "fetch_seq",
             )
-            # `touched` came from the combined fetch agg above — no extra job
+            # `touched` came from the combined fetch agg above — no extra job.
+            # The anti-join's right side is the popped batch — bounded by
+            # round_cap / per-host budgets and already counted (n_batch) —
+            # so broadcast it (guide §3.1): the touched frontier layers
+            # stream from parquet straight into the partitioned write with
+            # NO shuffle, instead of a sort-merge join shuffling O(layer)
+            # rows.  The 64 MB conservative cap (~1M urls) falls back to
+            # the planner's choice for pathologically large batches.
+            batch_urls = batch_done.select("url")
+            if n_batch * 64 < 64 * 1024 * 1024:
+                batch_urls = F.broadcast(batch_urls)
             rewritten = (
                 frontier.filter(F.col("discovered_round").isin(touched))
-                .join(batch_done.select("url"), "url", "left_anti")
+                .join(batch_urls, "url", "left_anti")
                 .unionByName(batch_done)
                 .unionByName(self._frontier_rows(flagged, round_no, rank_dim))
             )

@@ -107,7 +107,15 @@ def robots_rules_expr(disallow: Column, allow: Column) -> Column:
 
 def robots_denied_rules_expr(url: Column, rules: Column) -> Column:
     """REP longest-match decision against precomputed rules (null-safe:
-    absent rules -> allowed)."""
+    absent rules -> allowed).
+
+    The whole decision sits behind a ``size(rules) > 0`` guard: a host
+    with no rules (the common case on real crawls — and a NULL from the
+    broadcast left join) short-circuits to allowed WITHOUT evaluating
+    ``path_expr``'s regex or the filter/aggregate machinery.  CaseWhen
+    branches evaluate lazily per row in codegen, so the guard is a pure
+    win (identity on the result by construction: no rules -> no match ->
+    allowed)."""
     p = path_expr(url)
     matched = F.filter(
         rules,
@@ -124,7 +132,8 @@ def robots_denied_rules_expr(url: Column, rules: Column) -> Column:
             F.struct(r["plen"].alias("plen"), r["is_allow"].alias("is_allow")),
         ).otherwise(acc),
     )
-    return F.coalesce((best["plen"] >= 0) & ~best["is_allow"], F.lit(False))
+    decision = (best["plen"] >= 0) & ~best["is_allow"]
+    return F.when(F.size(rules) > 0, decision).otherwise(F.lit(False))
 
 
 def robots_denied_expr(

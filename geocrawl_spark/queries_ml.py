@@ -123,18 +123,34 @@ def _shingle_pair_intersections(spark, sf_dir) -> DataFrame:
     """(doc_a < doc_b, i, n_a, n_b): df-capped candidate pairs with the
     TRUE shingle-set intersection — the Spark twin of
     :data:`_INTER_CTES`, shared by :func:`dedup_ngram_jaccard` and
-    :func:`dedup_containment`."""
+    :func:`dedup_containment`.
+
+    Materialization seams (optimization guide §2.4/§5): the exploded
+    shingle stream ``sh`` is referenced by THREE consumers (sizes,
+    posting lists, hot-shingle rows), the posting-list table ``grp`` by
+    two, ``inter_rare`` by two, and callers of the returned pairs table
+    routinely reference it more than once (containment's directed union,
+    the threshold sweep's two aggregates, the overlap matrix) — without
+    a seam Catalyst re-executes the whole read->tokenize->explode chain
+    per reference.  ``localCheckpoint(eager=False)`` materializes each
+    stage exactly once on first action; every stage is corpus-bounded
+    (shingles O(corpus tokens), postings O(shingles), pairs df-capped),
+    so the cached footprint is a small multiple of the input slice."""
     d = _t(spark, sf_dir, "documents")
     dw = d.select("doc_id", _words(F.col("text")).alias("ws"))
     sh = dw.select(
         "doc_id", F.explode(_shingles(F.col("ws"))).alias("s")
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     # one groupBy(s) materializes each shingle's (sorted) posting list;
     # rare postings expand to ordered doc pairs JVM-side — bounded by
     # cap^2/2 per key BY CONSTRUCTION, and the shingle pipeline runs once
     # instead of once per self-join branch
-    grp = sh.groupBy("s").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    grp = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .localCheckpoint(eager=False)
+    )
     combos = F.expr(
         "flatten(transform(ds, (x, i) -> transform("
         "slice(ds, i + 2, size(ds)), y -> struct(x as doc_a, y as doc_b))))"
@@ -144,8 +160,11 @@ def _shingle_pair_intersections(spark, sf_dir) -> DataFrame:
         .select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("ir"))
+        .localCheckpoint(eager=False)
     )
-    shh = sh.join(grp.filter(F.size("ds") > _DF_CAP).select("s"), "s", "left_semi")
+    shh = sh.join(
+        grp.filter(F.size("ds") > _DF_CAP).select("s"), "s", "left_semi"
+    ).localCheckpoint(eager=False)  # referenced by both join sides below
     x = shh.select(F.col("doc_id").alias("xa"), F.col("s").alias("sx"))
     y = shh.select(F.col("doc_id").alias("yb"), F.col("s").alias("sy"))
     inter_hot = (
@@ -162,7 +181,9 @@ def _shingle_pair_intersections(spark, sf_dir) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return inter.join(na, "doc_a").join(nb, "doc_b")
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b").localCheckpoint(eager=False)
+    )
 
 
 @_q(

@@ -755,6 +755,83 @@ def filter_and_update_abucket(
     return fresh.select("url", "depth", "kind"), stats, [w_cand, fresh], append_fn
 
 
+def filter_and_update_abucket_flagged(
+    candidates: DataFrame,
+    spark,
+    table: str,
+    n_buckets: int,
+    upto_round: int,
+    round_no: int,
+    decorate=None,
+):
+    """Single-materialization variant of :func:`filter_and_update_abucket`
+    for the CrawlEngine hot path (optimization guide §5: one persist
+    instead of three).  Same storage-partitioned membership plan — the
+    candidate batch shuffles once into the bucket layout, the seen side
+    is a bucketed scan with the round partition filter and no Exchange —
+    but the membership test is a LEFT join flag (``_seen``) over the
+    DEDUPED seen projection instead of an anti-join, the caller's row
+    decoration (host / robots columns via ``decorate``) is applied
+    before the single ``persist()``, and fresh rows, admission stats and
+    the O(fresh) append are all cheap scans of that one materialization.
+
+    The seen side is deduped (bucket-local aggregate, no Exchange: the
+    grouping key is the bucket key) because compaction crash windows can
+    leave duplicate h1 rows across store partitions — harmless to an
+    anti-join, row-multiplying for a left join.  The dedup costs one
+    O(seen) aggregate per round on top of the O(seen) scan the anti-join
+    already paid; the engine's savings (two fewer 2M-row
+    materializations per admission pass) dominate at every batch size.
+
+    Returns ``(flagged_all PERSISTED — deduped candidates + decorated
+    columns + _seen, stats(kind, n_cand, n_fresh), append_fn)``; fresh
+    rows are ``flagged_all.filter(_seen IS NULL)``.  Caller unpersists
+    ``flagged_all`` after ``append_fn()`` ran and every read completed.
+    """
+    if "kind" not in candidates.columns:
+        candidates = candidates.withColumn("kind", F.lit("page"))
+    cand = candidates.select("url", "depth", "kind").withColumn(
+        "h1", F.xxhash64("url")
+    )
+    w_cand = (
+        cand.repartition(n_buckets, "h1")
+        .groupBy("h1")
+        .agg(F.min(F.struct("depth", "url", "kind")).alias("s"))
+        .select("h1", "s.url", "s.depth", "s.kind")
+    )
+    seen_side = (
+        spark.table(table)
+        .where(F.col("round") <= F.lit(upto_round))
+        .select("h1")
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    out = w_cand.join(seen_side, "h1", "left")
+    if decorate is not None:
+        out = decorate(out)
+    out = out.persist()
+    fresh = out.filter(F.col("_seen").isNull())
+    stats = out.groupBy("kind").agg(
+        F.count("*").alias("n_cand"),
+        F.count(F.when(F.col("_seen").isNull(), True)).alias("n_fresh"),
+    )
+
+    def append_fn() -> None:
+        # dynamic overwrite scoped to this write — identical protocol and
+        # rationale as :func:`filter_and_update_abucket`'s append
+        conf = spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            fresh.select(
+                "h1", F.lit(round_no).cast("long").alias("round")
+            ).write.mode("overwrite").insertInto(table)
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return out, stats, append_fn
+
+
 def filter_and_update_anti_bucketed(
     candidates: DataFrame,
     spark,
