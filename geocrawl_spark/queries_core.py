@@ -62,8 +62,16 @@ def canon_urls(spark, sf_dir):
         F.col("doc_id").cast("string"),
         F.lit(".html#frag"),
     )
-    canon = canonicalize_url_expr(raw)
-    return d.select("doc_id", canon.alias("url_canon"), host_expr(canon).alias("host"))
+    # two-stage projection: host_expr over the PROJECTED canonical column,
+    # not over the canon expression — expression substitution would inline
+    # the whole canonicalization tree a second time (every row pays it
+    # twice; measured 5x slower at sf0.1 — the _grams_expr lesson)
+    c = d.select(
+        "doc_id", canonicalize_url_expr(raw).alias("url_canon")
+    )
+    return c.select(
+        "doc_id", "url_canon", host_expr(F.col("url_canon")).alias("host")
+    )
 
 
 # E1: the politeness pop shape — per-host top-3 by (priority, url)

@@ -919,6 +919,12 @@ def init_bitmap(spark) -> DataFrame:
     )
 
 
+#: bitmaps up to this many 64-bit words (32 MB) broadcast into the
+#: membership probe join in :func:`filter_and_update_bitmap`; larger
+#: bitmaps (10^9+ urls at 14+ bits/key) keep the shuffled row join.
+_BITMAP_BCAST_MAX_WORDS = 1 << 22
+
+
 def filter_and_update_bitmap(
     candidates: DataFrame,
     bitmap: DataFrame,
@@ -962,9 +968,19 @@ def filter_and_update_bitmap(
         .agg(F.min(F.struct("depth", "url", "kind", "h2")).alias("s"))
         .select("h1", "s.h2", "s.url", "s.depth", "s.kind")
     )
+    # membership probes: a bitmap under the broadcast cap (<= 32 MB of
+    # word rows — every crawl below ~10^9 urls at 14 bits/key) is
+    # BROADCAST into the probe join (guide §3.1): the k x |batch| probe
+    # stream is tested in place with no shuffle of either side, and the
+    # per-h1 AND re-aggregation combines the k co-located probe rows
+    # map-side before its (h1, flag) shuffle.  Beyond the cap the probe
+    # join shuffles both sides — the 10^9+ storage-partitioned regime.
+    bitmap_side = (
+        F.broadcast(bitmap) if (m_bits >> 6) <= _BITMAP_BCAST_MAX_WORDS else bitmap
+    )
     seen_flag = (
         _probe_df(w, m_bits, k)
-        .join(bitmap, "word_id", "left")
+        .join(bitmap_side, "word_id", "left")
         .groupBy("h1")
         .agg(
             F.every(

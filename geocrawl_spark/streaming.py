@@ -63,9 +63,13 @@ def host_arrival_metrics(pages: DataFrame, watermark: str = "10 minutes") -> Dat
     Late pages beyond the watermark are dropped (documented semantics);
     state is bounded by (hosts x open windows).
     """
-    canon = canonicalize_url_expr(F.col("url"))
+    # project the canonical url in its own stage — host_expr over the raw
+    # canon expression would inline (and per-row re-evaluate) the whole
+    # canonicalization tree (the canon_urls lesson)
     return (
-        pages.withColumn("host", host_expr(canon))
+        pages.withColumn("_canon", canonicalize_url_expr(F.col("url")))
+        .withColumn("host", host_expr(F.col("_canon")))
+        .drop("_canon")
         .withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", "1 hour").alias("w"), F.col("host"))
         .agg(
