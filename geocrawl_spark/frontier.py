@@ -868,10 +868,20 @@ class CrawlEngine:
             else self.io.read_table(self.spark, "seen_shards", round_no - 1)
         )
         pending = frontier.filter(F.col("status") == "pending")
-        n_pending = pending.count()
+        # ONE pending scan serves both the round-entry count and the
+        # per-host lineage: materialize the per-host pending counts first
+        # and derive n_pending as their sum (the host_log/carry section
+        # below reuses the persisted pend_h instead of re-scanning)
+        pend_h = (
+            pending.groupBy("host").agg(F.count("*").alias("n_pending")).persist()
+        )
+        n_pending = int(
+            pend_h.agg(F.sum("n_pending")).collect()[0][0] or 0
+        )
         self._mark(marks, "pending_count")
         counters = {k: 0 for k in COUNTER_KEYS}
         if n_pending == 0:
+            pend_h.unpersist()
             return {"done": True, **counters}
 
         # --- politeness pop (bounded batch) ----------------------------
@@ -972,7 +982,7 @@ class CrawlEngine:
         pool = ThreadPoolExecutor(max_workers=8)
         writes: list = []
         flagged = kinded = parsed = persist_state = None
-        pend_h = done_h = ext_src = ch_marked = None
+        done_h = ext_src = ch_marked = None
         parents: list = []
         f_nassets = f_ndead = None
         try:
@@ -1339,9 +1349,9 @@ class CrawlEngine:
 
             # --- per-host lineage (north_rule: per-partition lineage+metrics;
             # the salted host partition is the politeness/parallelism unit) ---
-            # tiny (one row per host) but derived from full scans — persist so
-            # host_log and the carry update share one computation each
-            pend_h = pending.groupBy("host").agg(F.count("*").alias("n_pending")).persist()
+            # pend_h was materialized at round entry (it priced n_pending);
+            # done_h is tiny but derived from the full fetched batch —
+            # persist so host_log and the carry update share one computation
             done_h = fetched.groupBy("host").agg(
                 F.count("*").alias("n_batch"), F.count("html").alias("n_fetched")
             ).persist()

@@ -386,7 +386,10 @@ def gopher_repetition(spark, sf_dir):
     partial aggregation — the same bounded shingle shuffle as the dedup
     family; no window wider than one document's distinct grams."""
     d = _t(spark, sf_dir, "documents")
-    dw = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # tokenize once: three gram passes (2-gram, 5-gram, unigram) read ws
+    dw = d.select("doc_id", F.split("text", " ").alias("ws")).localCheckpoint(
+        eager=False
+    )
     words = F.col("ws")
 
     def top_char_frac(n: int, out: str) -> DataFrame:
@@ -412,7 +415,9 @@ def gopher_repetition(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum(F.col("cnt") * (F.length("g") + 1)).alias("chars5"))
     )
-    wtab = dw.select("doc_id", F.explode(words).alias("w"))
+    wtab = dw.select("doc_id", F.explode(words).alias("w")).localCheckpoint(
+        eager=False
+    )  # read by both the top-word count and the word total
     cw = wtab.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("cnt"))
     ww = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("w"))
     topw = (
@@ -1376,7 +1381,13 @@ def dedup_incremental(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     dw = d.select("doc_id", _words(F.col("text")).alias("ws"))
-    sh = dw.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
+    # materialization seams (the _shingle_pair_intersections rationale):
+    # sh feeds sizes, the minhash signatures AND both intersection join
+    # sides; sig feeds the four band projections — without the seams each
+    # reference re-runs the read->tokenize->explode chain
+    sh = dw.select(
+        "doc_id", F.explode(_shingles(F.col("ws"))).alias("s")
+    ).localCheckpoint(eager=False)
     is_batch = F.col("doc_id") % _BATCH_MOD == 0
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     sig = sh.groupBy("doc_id").agg(
@@ -1384,7 +1395,7 @@ def dedup_incremental(spark, sf_dir):
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh_{j}")
             for j in range(_N_BANDS)
         ]
-    )
+    ).localCheckpoint(eager=False)
     bands = None
     for j in range(_N_BANDS):
         bj = sig.select(
@@ -1402,6 +1413,7 @@ def dedup_incremental(spark, sf_dir):
         )
         .select("doc_b", "doc_c")
         .distinct()
+        .localCheckpoint(eager=False)  # feeds the intersection AND the join-back
     )
     sh_b = sh.filter(is_batch).withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
     sh_c = sh.filter(~is_batch).select(
@@ -1427,6 +1439,7 @@ def dedup_incremental(spark, sf_dir):
                 "(1000000 * coalesce(i, 0)) div (n_b + n_c - coalesce(i, 0))"
             ).alias("jm"),
         )
+        .localCheckpoint(eager=False)  # read by both best-match and n_candidates
     )
     w = Window.partitionBy("doc_b").orderBy(F.desc("jm"), F.asc("doc_c"))
     best = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -2785,6 +2798,9 @@ def topic_source_mix(spark, sf_dir):
         m.join(d, m.vec_id == d.doc_id)
         .groupBy("cid", "source")
         .agg(F.count("*").cast("long").alias("n_docs"))
+        # tiny (cid x source cells), but upstream is the IVF scoring
+        # pass — materialize so the totals branch does not re-run it
+        .localCheckpoint(eager=False)
     )
     t = c.groupBy("cid").agg(F.sum("n_docs").cast("long").alias("cluster_docs"))
     return c.join(t, "cid").select(
@@ -3296,18 +3312,21 @@ def winnow_fingerprints(spark, sf_dir):
         .rowsBetween(Window.currentRow, _WINNOW_W - 1)
     )
     wdoc = Window.partitionBy("doc_id")
+    # seams: sel feeds the per-doc rollup AND the sharing side; docfp
+    # feeds the df count AND the join back (the tokenize-once rationale)
     sel = (
         g.withColumn("fp", F.min("gh").over(wmin))
         .withColumn("ngrams", F.count("*").over(wdoc))
         .filter(F.col("pos") <= F.col("ngrams") - (_WINNOW_W - 1))
         .select("doc_id", "ngrams", "fp")
+        .localCheckpoint(eager=False)
     )
     per = sel.groupBy("doc_id").agg(
         F.max("ngrams").cast("long").alias("n_grams"),
         F.count("*").cast("long").alias("n_windows"),
         F.countDistinct("fp").cast("long").alias("n_fingerprints"),
     )
-    docfp = sel.select("doc_id", "fp").distinct()
+    docfp = sel.select("doc_id", "fp").distinct().localCheckpoint(eager=False)
     share = docfp.groupBy("fp").agg(F.count("*").alias("dcnt"))
     sh = (
         docfp.join(share.filter(F.col("dcnt") >= 2), "fp")
