@@ -304,18 +304,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     dw = d.select("doc_id", _words(F.col("text")).alias("ws"))
     sh = dw.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
+    # seams: sig feeds the four band projections, bands both self-join
+    # sides — each reference would otherwise re-run the shingle pipeline
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh_{j}")
             for j in range(_N_BANDS)
         ]
-    )
+    ).localCheckpoint(eager=False)
     bands = None
     for j in range(_N_BANDS):
         bj = sig.select(
             "doc_id", F.lit(j).alias("band"), F.col(f"mh_{j}").alias("mh")
         )
         bands = bj if bands is None else bands.unionByName(bj)
+    bands = bands.localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -389,7 +392,7 @@ def dedup_simhash(spark, sf_dir):
     )
     bands = sig.select(
         "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
-    )
+    ).localCheckpoint(eager=False)  # both self-join sides read this
     a = bands.alias("a")
     b2 = bands.alias("b")
     cand = (
@@ -643,7 +646,11 @@ def _ivf_assign_ranked(
             cents[r["cid"]] = list(r["ce_new"])
     n.unpersist()
     cols = ["vec_id", "cid", "rk"] + (["c_cos"] if with_score else [])
-    return ranked(_mat(), cids).select(*cols)
+    # materialization seam: every consumer references the assignment at
+    # least twice (query-probe rk<=p AND membership rk=1 sides, or
+    # stats + join branches) — without it each reference re-runs the
+    # final GEMM scoring pass and its ranking window
+    return ranked(_mat(), cids).select(*cols).localCheckpoint(eager=False)
 
 
 def _ivf_sql_ctes(
@@ -949,6 +956,10 @@ def _hp_band_vals(spark: SparkSession, n: DataFrame, r: int) -> DataFrame:
         sv.select("vec_id", "sv", F.expr(f"b div {r}").alias("band"), "b")
         .groupBy("vec_id", "band")
         .agg(packed.alias("band_val"))
+        # seam: consumers read the signatures from both the bucket side
+        # and the query-probe side — materialize the cross-join + packing
+        # pass once instead of once per reference
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1451,7 +1462,8 @@ def dedup_embedding_bucketed(spark, sf_dir):
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     k = _ivf_k_of(_vec_count(sf_dir, "embeddings", e))
     assign = _ivf_assign_ranked(n, k).filter(F.col("rk") == 1).select("vec_id", "cid")
-    na = _bucket_capped(n.join(assign, "vec_id"))
+    # seam: both pair-join sides read the capped membership
+    na = _bucket_capped(n.join(assign, "vec_id")).localCheckpoint(eager=False)
     a = na.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
         F.col("nrm").alias("n_a"), "cid",
@@ -1571,7 +1583,7 @@ def semdedup_prune(spark, sf_dir):
             ),
             "vec_id",
         )
-    )
+    ).localCheckpoint(eager=False)  # both pair sides + the final flag join
     a = members.select(
         F.col("vec_id").alias("va"), F.col("e").alias("ea"),
         F.col("nrm").alias("n_a"), F.col("c_micro").alias("ca"), "cid",
