@@ -3578,9 +3578,13 @@ def source_drift_ks(spark, sf_dir):
     Scale shape: ONE map-side-combined groupBy(source, bucket) over the
     corpus (grid cardinality {_KS_BUCKETS}), then all remaining work is
     over |sources| x {_KS_BUCKETS} rows — window cumsums and a broadcast
-    join on the tiny global-CDF table.  At 10^10 docs the cross-products
-    outgrow int64 (cs*N ~ 10^20): production promotes the diff column to
-    decimal(38,0) — same plan shape, still exact integers."""
+    join on the tiny global-CDF table.  Overflow bound (int64): the
+    binding term is the FINAL scaling ``diff * 1e6`` with diff bounded
+    by ns*nn, so exactness ends once ns * N exceeds ~9.2e12 — e.g. a
+    1e6-doc source in a 1e7-doc corpus — well before the cross-products
+    cs*N themselves wrap (~9.2e18).  Production therefore promotes diff
+    to decimal(38,0) (or divides by ns*nn before scaling) as soon as
+    ns * N approaches 9.2e12 — same plan shape, still exact integers."""
     d = _t(spark, sf_dir, "documents")
     b = d.select(
         "source",
