@@ -425,7 +425,11 @@ def gopher_repetition(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "cnt")
     )
-    nw = wtab.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_words"))
+    # n_words == size of the token array (split never yields an empty
+    # array: "" tokenizes to [""]), so the word total is a projection of
+    # the cached ws — the explode -> groupBy(doc_id) Exchange the old
+    # form paid is gone (guide §2.4)
+    nw = dw.select("doc_id", F.size("ws").cast("long").alias("n_words"))
 
     # join on the projected length, not the text payload: the wide text
     # column must not ride through four shuffles to be length()'d at the
