@@ -394,11 +394,13 @@ class CrawlEngine:
 
     @staticmethod
     def _stats_dict(stats_df: DataFrame) -> dict:
+        has_denied = "n_denied" in stats_df.columns
         return {
             r["kind"]: {
                 "candidates": int(r["n_cand"]),
                 "fresh": int(r["n_fresh"]),
                 "deduped": int(r["n_cand"] - r["n_fresh"]),
+                **({"denied": int(r["n_denied"])} if has_denied else {}),
             }
             for r in stats_df.collect()
         }
@@ -409,7 +411,11 @@ class CrawlEngine:
         One seen-filter pass (strategy per ``self.mode``) does
         within-batch dedup + seen-test + state update + per-kind stats;
         robots are checked on the fresh survivors only.  Returns
-        (flagged, persist_state, parents, stats_fn); ``persist_state()``
+        (flagged, persist_state, parents, stats_fn); ``stats_fn()``
+        yields {kind: {candidates, fresh, deduped, denied}} in ONE
+        driver-blocking call (a single combined aggregate in abucket
+        mode; two internally-overlapped actions in the snapshot modes).
+        ``persist_state()``
         writes this round's seen-state update — a full ``seen_shards``
         snapshot for exact/bloom/anti/bitword, an O(fresh) partition
         append into the bucketed store for abucket.  ``flagged`` is
@@ -436,7 +442,7 @@ class CrawlEngine:
             # the robots decoration, the stats, the fresh rows and the
             # O(fresh) append all read ONE persisted pass over the
             # deduped candidates instead of three chained persists
-            flagged_all, stats_df, append_fn = S.filter_and_update_abucket_flagged(
+            flagged_all, _stats_df, append_fn = S.filter_and_update_abucket_flagged(
                 cand, self.spark, self._seen_table(), self.n_buckets,
                 upto_round=round_no - 1, round_no=round_no,
                 decorate=_robots_cols,
@@ -444,11 +450,22 @@ class CrawlEngine:
             flagged = flagged_all.filter(F.col("_seen").isNull()).select(
                 "url", "host", "depth", "kind", "denied"
             )
-            # stats_fn is returned LAZY so the caller can run it
-            # CONCURRENTLY with the denied-count collect; its first
-            # execution materializes the persisted admission pass
+            # ONE combined stats action (guide §5): per-kind candidate /
+            # fresh / denied counts in a single aggregate over the one
+            # persisted admission pass.  The old form ran the kind stats
+            # and the denied count as two CONCURRENT first-touch jobs
+            # over the same not-yet-materialized cache — racing partitions
+            # compute the 2M-row canon->hash->membership chain roughly
+            # twice; a single job materializes the cache exactly once.
+            stats_all = flagged_all.groupBy("kind").agg(
+                F.count("*").alias("n_cand"),
+                F.count(F.when(F.col("_seen").isNull(), True)).alias("n_fresh"),
+                F.count(
+                    F.when(F.col("_seen").isNull() & F.col("denied"), True)
+                ).alias("n_denied"),
+            )
             return flagged, append_fn, [flagged_all], (
-                lambda: self._stats_dict(stats_df)
+                lambda: self._stats_dict(stats_all)
             )
         if self.mode in ("exact", "bloom", "cuckoo"):
             fresh, new_state, seen_out = S.filter_and_update(
@@ -471,10 +488,32 @@ class CrawlEngine:
             .select("url", "host", "depth", "kind", "denied")
             .persist()
         )
-        # stats_fn is returned LAZY so the caller can run it CONCURRENTLY
-        # with the denied-count collect (two independent driver-blocking
-        # jobs overlapped in the round's driver thread pool); its first
-        # execution materializes the persisted seen-filter parents
+        base_stats_fn = stats_fn
+
+        def stats_fn() -> dict:  # type: ignore[no-redef]
+            # snapshot modes keep two actions (the dedup stats live on the
+            # seen-filter parents, denied on the decorated fresh rows) —
+            # overlapped here exactly as the callers used to, but behind
+            # the same combined-dict contract the abucket branch returns
+            with ThreadPoolExecutor(max_workers=2) as p:
+                f_s = p.submit(base_stats_fn)
+                f_d = p.submit(
+                    lambda: {
+                        r["kind"]: int(r["n"])
+                        for r in flagged.filter(F.col("denied"))
+                        .groupBy("kind")
+                        .agg(F.count("*").alias("n"))
+                        .collect()
+                    }
+                )
+                s, dn = f_s.result(), f_d.result()
+            for k in s:
+                s[k]["denied"] = dn.get(k, 0)
+            for k, n in dn.items():
+                if k not in s:
+                    s[k] = {"candidates": 0, "fresh": 0, "deduped": 0, "denied": n}
+            return s
+
         return flagged, persist_state, parents, stats_fn
 
     def _empty_carry(self) -> DataFrame:
@@ -747,10 +786,12 @@ class CrawlEngine:
         counters = {k: 0 for k in COUNTER_KEYS}
         with ThreadPoolExecutor(max_workers=8) as pool:
             f_stats = pool.submit(stats_fn)
-            f_denied = pool.submit(flagged.filter(F.col("denied")).count)
-            pstats = f_stats.result().get("page", {"deduped": 0, "fresh": 0})
+            sall = f_stats.result()
+            pstats = sall.get("page", {"deduped": 0, "fresh": 0})
             counters["deduped"] = pstats["deduped"]
-            counters["robots_denied"] = f_denied.result()
+            counters["robots_denied"] = sum(
+                v.get("denied", 0) for v in sall.values()
+            )
             counters["discovered"] = pstats["fresh"] - counters["robots_denied"]
             self._mark(marks, "admit_stats")
             writes = [
@@ -1300,26 +1341,19 @@ class CrawlEngine:
                     cand, state, round_no
                 )
                 f_stats = pool.submit(stats_fn)
-                f_denied = pool.submit(
-                    lambda: {
-                        r["kind"]: r["n"]
-                        for r in flagged.filter(F.col("denied"))
-                        .groupBy("kind")
-                        .agg(F.count("*").alias("n"))
-                        .collect()
-                    }
-                )
                 stats = f_stats.result()
-                denied_counts = f_denied.result()
                 self._mark(marks, "admit_stats")
-                p = stats.get("page", {"candidates": 0, "fresh": 0, "deduped": 0})
-                a = stats.get("asset", {"candidates": 0, "fresh": 0, "deduped": 0})
+                _zero = {"candidates": 0, "fresh": 0, "deduped": 0, "denied": 0}
+                p = stats.get("page", _zero)
+                a = stats.get("asset", _zero)
                 counters["deduped"] = p["deduped"] + a["deduped"]
-                counters["robots_denied"] = sum(denied_counts.values())
-                counters["discovered"] = p["fresh"] - denied_counts.get("page", 0)
+                counters["robots_denied"] = sum(
+                    v.get("denied", 0) for v in stats.values()
+                )
+                counters["discovered"] = p["fresh"] - p.get("denied", 0)
 
                 # --- asset extraction + parse stage --------------------------
-                if a["fresh"] - denied_counts.get("asset", 0) > 0:
+                if a["fresh"] - a.get("denied", 0) > 0:
                     allowed_assets = flagged.filter(
                         (F.col("kind") == "asset") & ~F.col("denied")
                     ).select(F.col("url").alias("asset_url"))

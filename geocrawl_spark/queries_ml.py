@@ -370,6 +370,11 @@ def dedup_simhash(spark, sf_dir):
     oracle keeps as the executable spec)."""
     d = _t(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    # NOTE (r6 A/B): staging md5(w) in its own projection before the 16
+    # vote aggregates was tried and measured NEUTRAL (2.70 -> 2.80 s at
+    # sf0.1) — hash-aggregate codegen already subexpression-eliminates
+    # the shared digest, unlike interpreted higher-order lambdas (see
+    # queries_pipeline._clf_weight_hex_expr, where the same move won 41%).
     votes = [
         F.sum(
             F.when(

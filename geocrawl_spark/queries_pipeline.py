@@ -2411,17 +2411,25 @@ def _hexval_expr(c):
     return a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
 
 
-def _clf_weight_expr(x):
-    """Hashed feature weight: value of md5(x)'s first 4 hex chars mod
-    _CLF_W_MOD — pure column functions, legal inside a higher-order
-    lambda, bit-identical to :func:`_clf_weight_sql`."""
-    m = F.md5(x)
+def _clf_weight_hex_expr(m):
+    """Hashed feature weight from the PRE-COMPUTED first-4-hex-chars
+    digest prefix ``m`` — pure column functions, legal inside a
+    higher-order lambda, bit-identical to :func:`_clf_weight_sql`.
+    Taking the prefix (not the raw feature) keeps the md5 evaluation in
+    the caller's staging projection, once per feature, instead of once
+    per hex digit read here."""
     h = sum(
         _hexval_expr(F.substring(m, i + 1, 1)) * w if w > 1
         else _hexval_expr(F.substring(m, i + 1, 1))
         for i, w in enumerate(_CLF_HEX_W)
     )
     return (h % _CLF_W_MOD).cast("long")
+
+
+def _clf_weight_expr(x):
+    """Hashed feature weight of raw feature ``x``: md5 then
+    :func:`_clf_weight_hex_expr` — for single-reference call sites."""
+    return _clf_weight_hex_expr(F.substring(F.md5(x), 1, 4))
 
 
 @_q("quality_classifier_score", _CLF_SQL)
@@ -2455,13 +2463,26 @@ def quality_classifier_score(spark, sf_dir):
         "doc_id",
         F.concat(F.col("ws"), _grams_expr(F.col("ws"), 2)).alias("feats"),
     )
-    agg = fd.select(
+    # digest ONCE per feature: the weight fold reads 4 hex digits, and
+    # higher-order lambdas are interpreted with no common-subexpression
+    # elimination — _clf_weight_expr's md5(x) would be re-evaluated per
+    # digit.  Staging the 4-char digest prefix array in its own
+    # projection (CollapseProject keeps it: ``hs`` is referenced twice)
+    # leaves only cheap 1-char substrings inside the fold; n_feats ==
+    # size(hs) because transform preserves length.
+    hd = fd.select(
         "doc_id",
-        F.size("feats").cast("long").alias("n_feats"),
+        F.transform(
+            "feats", lambda x: F.substring(F.md5(x), 1, 4)
+        ).alias("hs"),
+    )
+    agg = hd.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_feats"),
         F.aggregate(
-            "feats",
+            "hs",
             F.lit(0).cast("long"),
-            lambda acc, x: acc + _clf_weight_expr(x),
+            lambda acc, m: acc + _clf_weight_hex_expr(m),
         ).alias("swgt"),
     )
     mean_milli = F.expr("(1000 * swgt) div n_feats")
