@@ -594,7 +594,7 @@ def _ivf_assign_ranked(
     import numpy as np
     import pandas as pd
 
-    def ranked(C: "np.ndarray", cids: "np.ndarray"):
+    def _scored(C: "np.ndarray", cids: "np.ndarray"):
         cnrm = np.sqrt((C * C).sum(axis=1))
         kk = len(cids)
 
@@ -610,11 +610,30 @@ def _ivf_assign_ranked(
                     "c_raw": S.ravel(),
                 })
 
-        scored = n.select("vec_id", "e", "nrm").mapInPandas(
+        return n.select("vec_id", "e", "nrm").mapInPandas(
             score, schema="vec_id long, cid long, c_raw double"
         ).select("vec_id", "cid", F.round("c_raw", 6).alias("c_cos"))
+
+    def ranked(C: "np.ndarray", cids: "np.ndarray"):
         w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
-        return scored.withColumn("rk", F.row_number().over(w))
+        return _scored(C, cids).withColumn("rk", F.row_number().over(w))
+
+    def train_assign(C: "np.ndarray", cids: "np.ndarray"):
+        # Lloyd steps only need the rk=1 membership, not the full probe
+        # ranking: max(struct(c_cos, -cid)) is the same argmax under the
+        # same tie order (highest 6dp cosine, then LOWEST cid — struct
+        # comparison is lexicographic and cid >= 0) and replaces the
+        # window's full sort of the n x K scored rows with a map-side
+        # combinable hash aggregate (guide §2.3 "aggregate before you
+        # shuffle").  The final returned ranking keeps the window — its
+        # rk<=p consumers need real ranks.
+        m = F.max(F.struct(F.col("c_cos"), (-F.col("cid")).alias("nc")))
+        return (
+            _scored(C, cids)
+            .groupBy("vec_id")
+            .agg(m.alias("m"))
+            .select("vec_id", (-F.col("m")["nc"]).alias("cid"))
+        )
 
     # training runs `iters` scoring + mean passes over n — pin it so an
     # expensive upstream (media feature extraction) materializes once;
@@ -632,7 +651,7 @@ def _ivf_assign_ranked(
         return np.array([cents[c] for c in cids], dtype=np.float64)
 
     for _ in range(iters):
-        assign = ranked(_mat(), cids).filter(F.col("rk") == 1).select("vec_id", "cid")
+        assign = train_assign(_mat(), cids)
         means = (
             n.join(assign, "vec_id")
             .select("cid", F.posexplode("e").alias("dim", "val"))
