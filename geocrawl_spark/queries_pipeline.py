@@ -397,14 +397,17 @@ def gopher_repetition(spark, sf_dir):
             "doc_id", F.explode(_grams_expr(words, n)).alias("g")
         )
         c = g.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("cnt"))
-        w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
-        return (
-            c.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "doc_id",
-                (F.col("cnt") * (F.length("g") + 1)).alias(out),
-            )
+        # per-doc argmax by (cnt desc, g asc) as min(struct(-cnt, g)) —
+        # identical row to the row_number()=1 window under the same tie
+        # order (struct comparison is lexicographic; (doc_id, g) is the
+        # group key so the pair is unique), but a map-side combinable
+        # aggregate instead of an Exchange + full per-doc sort (§2.3)
+        best = c.groupBy("doc_id").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("g"))).alias("m")
+        )
+        return best.select(
+            "doc_id",
+            ((-F.col("m.nc")) * (F.length("m.g") + 1)).alias(out),
         )
 
     top2 = top_char_frac(2, "chars2")
@@ -419,11 +422,11 @@ def gopher_repetition(spark, sf_dir):
         eager=False
     )  # read by both the top-word count and the word total
     cw = wtab.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("cnt"))
-    ww = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("w"))
+    # same argmax-as-aggregate move as top_char_frac above
     topw = (
-        cw.withColumn("rn", F.row_number().over(ww))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "cnt")
+        cw.groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("w"))).alias("m"))
+        .select("doc_id", (-F.col("m.nc")).alias("cnt"))
     )
     # n_words == size of the token array (split never yields an empty
     # array: "" tokenizes to [""]), so the word total is a projection of
@@ -1445,8 +1448,20 @@ def dedup_incremental(spark, sf_dir):
         )
         .localCheckpoint(eager=False)  # read by both best-match and n_candidates
     )
-    w = Window.partitionBy("doc_b").orderBy(F.desc("jm"), F.asc("doc_c"))
-    best = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # per-batch-doc argmax by (jm desc, doc_c asc) as min(struct(-jm,
+    # doc_c)) — the row_number()=1 window row under the same tie order,
+    # as a map-side combinable aggregate (the gopher_repetition move)
+    best = (
+        j.groupBy("doc_b")
+        .agg(
+            F.min(F.struct((-F.col("jm")).alias("nj"), F.col("doc_c"))).alias("m")
+        )
+        .select(
+            "doc_b",
+            F.col("m.doc_c").alias("doc_c"),
+            (-F.col("m.nj")).alias("jm"),
+        )
+    )
     ncand = j.groupBy("doc_b").agg(F.count("*").cast("long").alias("nc"))
     batch = d.filter(is_batch).select("doc_id")
     return (
