@@ -3229,16 +3229,18 @@ def langid_confusion(spark, sf_dir):
     the scan's codegen span) and two tiny aggregates over at most
     |langs| x |guesses| cells."""
     d = _t(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    en = F.size(F.filter(words, lambda w: w.isin("the", "a", "and", "of")))
-    es = F.size(F.filter(words, lambda w: w.isin("el", "la", "de", "y")))
+    # tokenize once: the en and es stopword probes each inlined the
+    # split otherwise (two evaluations per row)
+    dw = d.select("lang", _words(F.col("text")).alias("ws"))
+    en = F.size(F.filter("ws", lambda w: w.isin("the", "a", "and", "of")))
+    es = F.size(F.filter("ws", lambda w: w.isin("el", "la", "de", "y")))
     guess = (
         F.when(en >= 2, F.lit("en"))
         .when(es >= 2, F.lit("es"))
         .otherwise(F.lit("unknown"))
     )
     per = (
-        d.select("lang", guess.alias("guess"))
+        dw.select("lang", guess.alias("guess"))
         .groupBy("lang", "guess")
         .agg(F.count("*").cast("long").alias("n"))
     )
@@ -3857,19 +3859,25 @@ def blocklist_filter_stats(spark, sf_dir):
     probe; a larger real-world lexicon broadcasts identically.
     Portability: counts and floor-divided ppm only — no float."""
     d = _t(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    flagged = F.size(
-        F.filter(ws, lambda x: x.isin(*_BLOCKLIST))
-    ).cast("long")
-    n = F.size(ws).cast("long")
-    ratio = F.expr(
-        f"(size(filter(split(text, ' '), x -> x in ({_BLOCK_IN}))) * 1000000)"
-        f" div size(split(text, ' '))"
-    ).cast("long")
-    return d.select(
+    # two-stage projection (the canon_urls lesson): the old single
+    # projection inlined split(text) into every output expression
+    # (~6 evaluations per row, the lexicon filter 3 of them) because the
+    # ratio and keep columns each rebuilt the whole sub-expression.
+    # Stage the two counts once; the ppm arithmetic downstream is
+    # integer-cheap.
+    dw = d.select("doc_id", F.split("text", " ").alias("ws"))
+    st = dw.select(
         "doc_id",
-        n.alias("n_tokens"),
-        flagged.alias("n_flagged"),
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(F.filter("ws", lambda x: x.isin(*_BLOCKLIST)))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+    ratio = F.expr("(n_flagged * 1000000) div n_tokens").cast("long")
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        "n_flagged",
         ratio.alias("ratio_ppm"),
         F.when(ratio < _BLOCK_MAX_PPM, F.lit(1))
         .otherwise(F.lit(0))
